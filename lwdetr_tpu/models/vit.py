@@ -1,0 +1,230 @@
+"""ViTDet-style plain ViT encoder with interleaved window/global attention.
+
+TPU-native re-design of /root/reference/models/backbone/vit.py:26-365:
+
+* channel-last (B, H, W, C) feature maps throughout (TPU conv layout);
+* the reference's window-major trick is kept verbatim in spirit — the token
+  buffer is reorganized ONCE into 16 windows (reshape-only, XLA-free), window
+  blocks attend over (B*16, hw, C) and global blocks view the same buffer as
+  (B, 16*hw, C) (vit.py:353-358, 201-214);
+* absolute position embeddings are resized from the pretraining grid with an
+  exact torch-bicubic matrix product (ops/resize.py) instead of an
+  interpolation primitive (vit.py:26-54);
+* CAE mode: fused qkv projection with bias = concat(q_bias, 0, v_bias) and
+  layer-scale gamma_1/gamma_2 (vit.py:111-126, 189-193);
+* stochastic depth rates are runtime inputs so the reference's per-iteration
+  drop scheduler (util/drop_scheduler.py) works without recompilation.
+
+All attention here is exact softmax attention; sequence lengths are small
+(<=400 per window, <=6400 global at 1280 px), so the N^2 form stays in VMEM
+tiles and XLA fuses it. A Pallas flash-attention path can be slotted into
+`_attention` without touching the rest.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lwdetr_tpu.ops.resize import bicubic_resize_2d
+
+NUM_WINDOWS_SIDE = 4  # fixed 4x4 = 16 windows (reference vit.py:353-358)
+
+
+def get_abs_pos(pos_embed: jnp.ndarray, has_cls_token: bool, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resize (1, num_pos, C) pretraining pos-embed to (1, H, W, C)."""
+    h, w = hw
+    if has_cls_token:
+        pos_embed = pos_embed[:, 1:]
+    xy_num = pos_embed.shape[1]
+    size = int(math.sqrt(xy_num))
+    assert size * size == xy_num, "pos_embed grid must be square"
+    grid = pos_embed.reshape(1, size, size, -1)
+    return bicubic_resize_2d(grid, (h, w))
+
+
+def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth; `rate` may be a traced scalar."""
+    if deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / jnp.maximum(keep, 1e-8).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Fused-qkv multi-head self-attention with CAE bias trick."""
+
+    dim: int
+    num_heads: int
+    use_cae: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.truncated_normal(0.02), (C, 3 * C), jnp.float32
+        )
+        if self.use_cae:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+            qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+        else:
+            qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * C,), jnp.float32)
+
+        qkv = x @ qkv_kernel.astype(self.dtype) + qkv_bias.astype(self.dtype)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+
+        out = nn.Dense(C, dtype=self.dtype, name="proj",
+                       kernel_init=nn.initializers.truncated_normal(0.02))(out)
+        return out
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1",
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2",
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        return x
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    window: bool
+    mlp_ratio: float = 4.0
+    use_cae: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, drop_path_rate, deterministic: bool):
+        # x: (B*16, hw, C) window-major token buffer
+        Bw, HW, C = x.shape
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+
+        if not self.window:
+            h = h.reshape(Bw // 16, 16 * HW, C)
+
+        h = Attention(self.dim, self.num_heads, use_cae=self.use_cae,
+                      dtype=self.dtype, name="attn")(h)
+        if self.use_cae:
+            gamma_1 = self.param("gamma_1", nn.initializers.constant(0.1), (C,), jnp.float32)
+            h = gamma_1.astype(self.dtype) * h
+
+        if not self.window:
+            h = h.reshape(Bw, HW, C)
+
+        if not deterministic:
+            h = _drop_path(h, drop_path_rate, deterministic, self.make_rng("dropout"))
+        x = shortcut + h
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        if self.use_cae:
+            gamma_2 = self.param("gamma_2", nn.initializers.constant(0.1), (C,), jnp.float32)
+            h = gamma_2.astype(self.dtype) * h
+        if not deterministic:
+            h = _drop_path(h, drop_path_rate, deterministic, self.make_rng("dropout"))
+        return x + h
+
+
+class ViT(nn.Module):
+    """Plain ViT with multi-level feature taps.
+
+    Returns a list of (B, H, W, C) maps at `out_feature_indexes`.
+    """
+
+    embed_dim: int
+    depth: int
+    num_heads: int = 12
+    patch_size: int = 16
+    mlp_ratio: float = 4.0
+    window_block_indexes: Tuple[int, ...] = ()
+    out_feature_indexes: Tuple[int, ...] = (-1,)
+    pretrain_img_size: int = 224
+    pretrain_use_cls_token: bool = True
+    use_cae: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        num_patches = (self.pretrain_img_size // self.patch_size) ** 2
+        num_positions = num_patches + 1 if self.pretrain_use_cls_token else num_patches
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, num_positions, self.embed_dim), jnp.float32,
+        )
+        self.patch_proj = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )
+        out_idx = [i if i >= 0 else i + self.depth for i in self.out_feature_indexes]
+        self._out_flags = tuple(i in out_idx for i in range(self.depth))
+        assert self._out_flags[-1], "last block must be an output feature"
+        self.blocks = [
+            Block(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                window=(i in self.window_block_indexes),
+                mlp_ratio=self.mlp_ratio,
+                use_cae=self.use_cae,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        drop_path_rates: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """x: (B, H_img, W_img, 3) -> list[(B, H, W, C)], H = H_img // patch."""
+        x = self.patch_proj(x)  # (B, H, W, C)
+        B, H, W, C = x.shape
+        pos = get_abs_pos(self.pos_embed, self.pretrain_use_cls_token, (H, W))
+        x = x + pos.astype(x.dtype)
+
+        assert H % NUM_WINDOWS_SIDE == 0 and W % NUM_WINDOWS_SIDE == 0
+        h, w = H // NUM_WINDOWS_SIDE, W // NUM_WINDOWS_SIDE
+
+        # window-major reorganization: one reshape+transpose, shared by all blocks
+        x = x.reshape(B, NUM_WINDOWS_SIDE, h, NUM_WINDOWS_SIDE, w, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B * 16, h * w, C)
+
+        if drop_path_rates is None:
+            drop_path_rates = jnp.zeros((self.depth,), dtype=jnp.float32)
+
+        outs = []
+        for i, blk in enumerate(self.blocks):
+            x = blk(x, drop_path_rates[i], deterministic)
+            if self._out_flags[i]:
+                o = x.reshape(B, NUM_WINDOWS_SIDE, NUM_WINDOWS_SIDE, h, w, C)
+                o = o.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+                outs.append(o)
+        return outs

@@ -1,0 +1,118 @@
+"""Parity tests for the TPU deformable-attention core op.
+
+Oracle: the reference's pure-PyTorch `ms_deform_attn_core_pytorch`
+(/root/reference/models/ops/functions/ms_deform_attn_func.py:52-75),
+re-stated here with torch.nn.functional.grid_sample — the same function the
+reference uses to validate its CUDA kernel (models/ops/test.py).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lwdetr_tpu.ops.deform_attn import ms_deform_attn, sampling_offsets_init_bias
+
+
+def torch_oracle(value, spatial_shapes, sampling_locations, attention_weights):
+    """value: (B, heads, head_dim, Len_in) torch; returns (B, Len_q, heads*head_dim)."""
+    B, n_heads, head_dim, _ = value.shape
+    _, Len_q, _, L, P, _ = sampling_locations.shape
+    value_list = value.split([H * W for H, W in spatial_shapes], dim=3)
+    sampling_grids = 2 * sampling_locations - 1
+    sampled = []
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value_list[lid].reshape(B * n_heads, head_dim, H, W)
+        g = sampling_grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        sampled.append(s)
+    attention_weights = attention_weights.transpose(1, 2).reshape(B * n_heads, 1, Len_q, L * P)
+    sampled = torch.stack(sampled, dim=-2).flatten(-2)
+    out = (sampled * attention_weights).sum(-1).view(B, n_heads * head_dim, Len_q)
+    return out.transpose(1, 2).contiguous()
+
+
+def make_inputs(rng, B=2, Q=7, n_heads=4, head_dim=8, shapes=((6, 4), (3, 2)), P=3,
+                loc_low=-0.2, loc_high=1.2):
+    L = len(shapes)
+    Len_in = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((B, Len_in, n_heads, head_dim)).astype(np.float32)
+    # include out-of-bounds locations to exercise zero-padding
+    loc = rng.uniform(loc_low, loc_high, (B, Q, n_heads, L, P, 2)).astype(np.float32)
+    w = rng.standard_normal((B, Q, n_heads, L * P)).astype(np.float32)
+    w = np.exp(w) / np.exp(w).sum(-1, keepdims=True)
+    w = w.reshape(B, Q, n_heads, L, P).astype(np.float32)
+    return value, loc, w
+
+
+@pytest.mark.parametrize("shapes", [((6, 4), (3, 2)), ((8, 8),), ((5, 7), (3, 3), (2, 2))])
+def test_forward_parity(shapes):
+    rng = np.random.default_rng(0)
+    value, loc, w = make_inputs(rng, shapes=shapes)
+    B, Len_in, n_heads, head_dim = value.shape
+
+    out = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+
+    t_value = torch.tensor(value).permute(0, 2, 3, 1)  # (B, heads, D, Len_in)
+    t_out = torch_oracle(t_value, shapes, torch.tensor(loc), torch.tensor(w))
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_forward_parity_inbounds_fp64():
+    rng = np.random.default_rng(1)
+    value, loc, w = make_inputs(rng, loc_low=0.05, loc_high=0.95)
+    shapes = ((6, 4), (3, 2))
+    with jax.enable_x64(True):
+        out = ms_deform_attn(
+            jnp.asarray(value, jnp.float64), shapes,
+            jnp.asarray(loc, jnp.float64), jnp.asarray(w, jnp.float64))
+    t_value = torch.tensor(value).double().permute(0, 2, 3, 1)
+    t_out = torch_oracle(t_value, shapes, torch.tensor(loc).double(), torch.tensor(w).double())
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-12)
+
+
+def test_gradients_match_torch():
+    rng = np.random.default_rng(2)
+    value, loc, w = make_inputs(rng, B=1, Q=4, n_heads=2, head_dim=4, shapes=((4, 4),), P=2)
+    shapes = ((4, 4),)
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+
+    tv = torch.tensor(value, requires_grad=True)
+    tl = torch.tensor(loc, requires_grad=True)
+    ta = torch.tensor(w, requires_grad=True)
+    t_out = torch_oracle(tv.permute(0, 2, 3, 1), shapes, tl, ta)
+    (t_out ** 2).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_jit_and_vmap_compose():
+    rng = np.random.default_rng(3)
+    value, loc, w = make_inputs(rng)
+    shapes = ((6, 4), (3, 2))
+    f = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))
+    out = f(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    assert out.shape == (2, 7, 4 * 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampling_offsets_init_bias_matches_reference_pattern():
+    n_heads, n_levels, n_points = 8, 2, 4
+    bias = np.asarray(sampling_offsets_init_bias(n_heads, n_levels, n_points))
+    bias = bias.reshape(n_heads, n_levels, n_points, 2)
+
+    thetas = torch.arange(n_heads, dtype=torch.float32) * (2.0 * np.pi / n_heads)
+    grid = torch.stack([thetas.cos(), thetas.sin()], -1)
+    grid = (grid / grid.abs().max(-1, keepdim=True)[0]).view(n_heads, 1, 1, 2).repeat(
+        1, n_levels, n_points, 1)
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    np.testing.assert_allclose(bias, grid.numpy(), atol=1e-6)
