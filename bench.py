@@ -1,0 +1,70 @@
+"""Throughput benchmark on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+Metric: batched 640x640 inference throughput per chip for LW-DETR-small
+(bf16 compute, jit, forward + NMS-free top-k postprocess), the BASELINE.json
+north-star ("small ... >= 1000 img/s on a v5e-8" => 125 img/s/chip).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMG_S_PER_CHIP = 125.0  # 1000 img/s on 8 chips (BASELINE.json)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lwdetr_tpu.config import get_config
+    from lwdetr_tpu.models.lwdetr import build_model, post_process
+
+    cfg = get_config("small")
+    model = build_model(cfg.model, dtype=jnp.bfloat16)
+
+    batch = 32
+    images_np = np.random.default_rng(0).standard_normal(
+        (batch, 640, 640, 3)).astype(np.float32)
+    init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_images, train=True)
+
+    @jax.jit
+    def fwd(variables, images):
+        out = model.apply(variables, images, train=False)
+        sizes = jnp.full((images.shape[0], 2), 640.0)
+        return post_process(out["pred_logits"], out["pred_boxes"], sizes,
+                            num_select=cfg.model.num_select)
+
+    images = jax.device_put(jnp.asarray(images_np))
+    # warmup (compile + 2 steady)
+    jax.block_until_ready(fwd(variables, images))
+    for _ in range(2):
+        jax.block_until_ready(fwd(variables, images))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_s = batch * iters / dt
+    n_chips = max(jax.device_count(), 1)
+    value = img_s / n_chips
+    print(json.dumps({
+        "metric": "lwdetr_small_640_bf16_infer_throughput",
+        "value": round(value, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / BASELINE_IMG_S_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Training and evaluation engine.
+
+TPU-native re-design of /root/reference/engine.py: the per-batch work
+(forward, matching, loss, backward, optimizer, EMA) is ONE jitted function
+over the device mesh; the Python loop only feeds batches and logs.  Gradient
+reduction across the data axis is inserted by XLA from the shardings — there
+is no DDP wrapper to manage (reference main.py:206-210).
+"""
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lwdetr_tpu.config import Config
+from lwdetr_tpu.models.criterion import SetCriterion, Targets
+from lwdetr_tpu.models.lwdetr import LWDETR, post_process
+from lwdetr_tpu.train.optim import drop_path_rates_for, ema_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Any  # {'params':…, 'batch_stats':…} or None
+    step: jnp.ndarray
+
+
+def create_train_state(model: LWDETR, tx, rng, sample_images, use_ema: bool):
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        sample_images, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    ema = ({"params": params, "batch_stats": batch_stats} if use_ema else None)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema=ema,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_train_step(model: LWDETR, criterion: SetCriterion, tx,
+                     ema_decay: float, use_ema: bool, vit_depth: int,
+                     donate: bool = True):
+    """Returns jitted train_step(state, batch, rng, drop_path_rate, dropout_rate)."""
+
+    def loss_fn(params, batch_stats, batch, rng, drop_path_rate, dropout_rate):
+        dp_rates = drop_path_rates_for(drop_path_rate, vit_depth)
+        out, new_vars = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"],
+            masks=batch.get("pad_mask"),
+            drop_path_rates=dp_rates,
+            dropout_rate=dropout_rate,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        targets = Targets(batch["labels"], batch["boxes"], batch["valid"])
+        total, losses = criterion(out, targets, train=True)
+        return total, (losses, new_vars.get("batch_stats", batch_stats))
+
+    def train_step(state: TrainState, batch, rng, drop_path_rate, dropout_rate):
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, rng,
+                drop_path_rate, dropout_rate)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if use_ema:
+            ema = ema_update(
+                state.ema, {"params": new_params, "batch_stats": new_bs}, ema_decay)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(new_params, new_bs, new_opt, ema, state.step + 1), metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def build_eval_step(model: LWDETR, num_select: int):
+    """Returns jitted eval_step(params, batch_stats, batch) ->
+    (scores, labels, boxes_xyxy_abs) at original image scale."""
+
+    def eval_step(params, batch_stats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], masks=batch.get("pad_mask"), train=False)
+        return post_process(
+            out["pred_logits"], out["pred_boxes"], batch["orig_size"],
+            num_select=num_select)
+
+    return jax.jit(eval_step)
+
+
+def train_one_epoch(
+    train_step, state: TrainState, loader, epoch: int, rng,
+    drop_path_sched: Optional[np.ndarray], dropout_sched: Optional[np.ndarray],
+    niter_per_ep: int, put_fn=None, log_every: int = 50, logger=print,
+):
+    """Python-side epoch loop (reference engine.py:26-90)."""
+    t0 = time.time()
+    meters: Dict[str, float] = {}
+    n = 0
+    for it, batch in enumerate(loader):
+        gstep = epoch * niter_per_ep + it
+        dp = float(drop_path_sched[min(gstep, len(drop_path_sched) - 1)]) \
+            if drop_path_sched is not None else 0.0
+        do = float(dropout_sched[min(gstep, len(dropout_sched) - 1)]) \
+            if dropout_sched is not None else 0.0
+        if put_fn is not None:
+            batch = put_fn(batch)
+        step_rng = jax.random.fold_in(rng, gstep)
+        state, metrics = train_step(
+            state, batch, step_rng, jnp.float32(dp), jnp.float32(do))
+        n += 1
+        if it % log_every == 0:
+            metrics = jax.device_get(metrics)
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                raise FloatingPointError(
+                    f"Loss is {loss}, stopping training (reference engine.py:71-74)")
+            for k, v in metrics.items():
+                meters[k] = float(v)
+            logger(f"epoch {epoch} it {it}/{niter_per_ep} "
+                   f"loss {loss:.4f} grad_norm {float(metrics['grad_norm']):.2f} "
+                   f"({(time.time()-t0)/max(it+1,1):.2f}s/it)")
+    meters["epoch_time"] = time.time() - t0
+    return state, meters
+
+
+def evaluate(eval_step, params, batch_stats, loader, evaluator, put_fn=None,
+             logger=print):
+    """Eval loop: forward + postprocess on device, COCO accumulation on host
+    (reference engine.py:93-164)."""
+    t0 = time.time()
+    seen = set()
+    for batch in loader:
+        dev_batch = put_fn(batch) if put_fn is not None else batch
+        scores, labels, boxes = jax.device_get(
+            eval_step(params, batch_stats, dev_batch))
+        results = {}
+        for i, img_id in enumerate(batch["image_id"].tolist()):
+            if img_id in seen:
+                continue  # padded duplicate in final batch
+            seen.add(img_id)
+            results[img_id] = {
+                "scores": scores[i], "labels": labels[i], "boxes": boxes[i]}
+        evaluator.update(results)
+    logger(f"eval forward done in {time.time()-t0:.1f}s ({len(seen)} images)")
+    stats = evaluator.summarize()
+    return stats
