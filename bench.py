@@ -43,16 +43,17 @@ def main():
                             num_select=cfg.model.num_select)
 
     images = jax.device_put(jnp.asarray(images_np))
-    # warmup (compile + 2 steady)
-    jax.block_until_ready(fwd(variables, images))
+    # warmup (compile + 2 steady); device_get forces real materialization —
+    # block_until_ready returns early over the axon tunnel
+    jax.device_get(fwd(variables, images)[0])
     for _ in range(2):
-        jax.block_until_ready(fwd(variables, images))
+        jax.device_get(fwd(variables, images)[0])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, images)
-    jax.block_until_ready(out)
+    jax.device_get(out[0])
     dt = time.perf_counter() - t0
 
     img_s = batch * iters / dt
