@@ -1,0 +1,363 @@
+"""LW-DETR-TPU training / evaluation CLI.
+
+Flag-compatible counterpart of /root/reference/main.py:39-433: the same
+argparse surface (model size flags, loss flags, dataset flags, EMA, resume /
+pretrain loading, eval mode, export subcommand), driving the TPU pipeline:
+jitted train/eval steps over a data-parallel mesh, orbax checkpoints,
+JSON-lines log.txt.
+
+Usage (mirrors scripts/lwdetr_*_coco_*.sh):
+  python main.py --preset tiny --coco_path /data/coco --output_dir out/
+  python main.py --preset small --coco_path /data/coco --eval --resume ckpt
+  python main.py ... export_model --shape 640 640
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("LW-DETR TPU", add_help=False)
+    p.add_argument("--preset", default=None,
+                   choices=("tiny", "small", "medium", "large", "xlarge"),
+                   help="release preset; individual flags override")
+    # optimization (reference main.py:41-66)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_encoder", default=1.5e-4, type=float)
+    p.add_argument("--batch_size", default=2, type=int,
+                   help="per-host global batch (sharded over local devices)")
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--epochs", default=12, type=int)
+    p.add_argument("--lr_drop", default=11, type=int)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--lr_vit_layer_decay", default=0.8, type=float)
+    p.add_argument("--lr_component_decay", default=1.0, type=float)
+    p.add_argument("--dropout", default=0, type=float)
+    p.add_argument("--drop_path", default=0, type=float)
+    p.add_argument("--drop_mode", default="standard",
+                   choices=("standard", "early", "late"))
+    p.add_argument("--drop_schedule", default="constant",
+                   choices=("constant", "linear"))
+    p.add_argument("--cutoff_epoch", default=0, type=int)
+    # model loading
+    p.add_argument("--pretrained_encoder", default=None, type=str)
+    p.add_argument("--pretrain_weights", default=None, type=str)
+    p.add_argument("--pretrain_exclude_keys", default=None, type=str, nargs="+")
+    p.add_argument("--pretrain_keys_modify_to_load", default=None, type=str, nargs="+")
+    # backbone
+    p.add_argument("--encoder", default="vit_tiny", type=str)
+    p.add_argument("--vit_encoder_num_layers", default=12, type=int)
+    p.add_argument("--window_block_indexes", default=None, type=int, nargs="+")
+    p.add_argument("--position_embedding", default="sine", choices=("sine", "learned"))
+    p.add_argument("--out_feature_indexes", default=[-1], type=int, nargs="+")
+    # transformer
+    p.add_argument("--dec_layers", default=3, type=int)
+    p.add_argument("--dim_feedforward", default=2048, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--sa_nheads", default=8, type=int)
+    p.add_argument("--ca_nheads", default=8, type=int)
+    p.add_argument("--num_queries", default=300, type=int)
+    p.add_argument("--group_detr", default=13, type=int)
+    p.add_argument("--two_stage", action="store_true")
+    p.add_argument("--projector_scale", default=["P4"], type=str, nargs="+",
+                   choices=("P3", "P4", "P5", "P6"))
+    p.add_argument("--lite_refpoint_refine", action="store_true")
+    p.add_argument("--num_select", default=100, type=int)
+    p.add_argument("--dec_n_points", default=4, type=int)
+    p.add_argument("--decoder_norm", default="LN", type=str)
+    p.add_argument("--bbox_reparam", action="store_true")
+    # matcher / losses
+    p.add_argument("--set_cost_class", default=2, type=float)
+    p.add_argument("--set_cost_bbox", default=5, type=float)
+    p.add_argument("--set_cost_giou", default=2, type=float)
+    p.add_argument("--cls_loss_coef", default=2, type=float)
+    p.add_argument("--bbox_loss_coef", default=5, type=float)
+    p.add_argument("--giou_loss_coef", default=2, type=float)
+    p.add_argument("--focal_alpha", default=0.25, type=float)
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
+    p.add_argument("--sum_group_losses", action="store_true")
+    p.add_argument("--use_varifocal_loss", action="store_true")
+    p.add_argument("--use_position_supervised_loss", action="store_true")
+    p.add_argument("--ia_bce_loss", action="store_true")
+    # data
+    p.add_argument("--dataset_file", default="coco")
+    p.add_argument("--coco_path", type=str)
+    p.add_argument("--square_resize_div_64", action="store_true")
+    # run control
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--checkpoint_interval", default=10, type=int)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_decay", default=0.9997, type=float)
+    p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--max_gt", default=100, type=int)
+    p.add_argument("--dont_bench", action="store_true")
+    # subcommands
+    sub = p.add_subparsers(title="sub-commands", dest="subcommand")
+    pe = sub.add_parser("export_model", help="AOT-compile and serialize")
+    pe.add_argument("--shape", type=int, nargs=2, default=(640, 640))
+    pe.add_argument("--infer_dir", type=str, default=None)
+    pe.add_argument("--batch", type=int, default=1)
+    return p
+
+
+def config_from_args(args):
+    from lwdetr_tpu.config import (Config, DataConfig, ModelConfig,
+                                   TrainConfig, get_config)
+
+    if args.preset:
+        cfg = get_config(args.preset)
+        # CLI data flags still apply
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data,
+            coco_path=args.coco_path or "",
+            dataset_file=args.dataset_file,
+            num_workers=args.num_workers))
+        return cfg
+
+    num_classes = 91 if args.dataset_file == "coco" else (
+        366 if args.dataset_file == "o365" else 20)
+    model = ModelConfig(
+        encoder=args.encoder,
+        vit_encoder_num_layers=args.vit_encoder_num_layers,
+        window_block_indexes=tuple(args.window_block_indexes or ()),
+        out_feature_indexes=tuple(args.out_feature_indexes),
+        position_embedding=args.position_embedding,
+        drop_path=args.drop_path,
+        dropout=args.dropout,
+        projector_scale=tuple(args.projector_scale),
+        dec_layers=args.dec_layers,
+        dim_feedforward=args.dim_feedforward,
+        hidden_dim=args.hidden_dim,
+        sa_nheads=args.sa_nheads,
+        ca_nheads=args.ca_nheads,
+        num_queries=args.num_queries,
+        group_detr=args.group_detr,
+        two_stage=args.two_stage,
+        lite_refpoint_refine=args.lite_refpoint_refine,
+        dec_n_points=args.dec_n_points,
+        decoder_norm=args.decoder_norm,
+        bbox_reparam=args.bbox_reparam,
+        aux_loss=args.aux_loss,
+        num_classes=num_classes,
+        num_select=args.num_select,
+    )
+    train = TrainConfig(
+        lr=args.lr, lr_encoder=args.lr_encoder, batch_size=args.batch_size,
+        weight_decay=args.weight_decay, epochs=args.epochs, lr_drop=args.lr_drop,
+        clip_max_norm=args.clip_max_norm,
+        lr_vit_layer_decay=args.lr_vit_layer_decay,
+        lr_component_decay=args.lr_component_decay,
+        drop_mode=args.drop_mode, drop_schedule=args.drop_schedule,
+        cutoff_epoch=args.cutoff_epoch,
+        set_cost_class=args.set_cost_class, set_cost_bbox=args.set_cost_bbox,
+        set_cost_giou=args.set_cost_giou,
+        cls_loss_coef=args.cls_loss_coef, bbox_loss_coef=args.bbox_loss_coef,
+        giou_loss_coef=args.giou_loss_coef, focal_alpha=args.focal_alpha,
+        sum_group_losses=args.sum_group_losses,
+        use_varifocal_loss=args.use_varifocal_loss,
+        use_position_supervised_loss=args.use_position_supervised_loss,
+        ia_bce_loss=args.ia_bce_loss,
+        use_ema=args.use_ema, ema_decay=args.ema_decay,
+        seed=args.seed, max_gt=args.max_gt,
+    )
+    data = DataConfig(
+        dataset_file=args.dataset_file, coco_path=args.coco_path or "",
+        square_resize_div_64=args.square_resize_div_64,
+        num_workers=args.num_workers)
+    return Config(model=model, train=train, data=data,
+                  output_dir=args.output_dir)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lwdetr_tpu.config import Config
+    from lwdetr_tpu.data.coco import build_dataset
+    from lwdetr_tpu.data.coco_eval import CocoEvaluator
+    from lwdetr_tpu.data.loader import DetectionLoader
+    from lwdetr_tpu.models.criterion import SetCriterion
+    from lwdetr_tpu.models.lwdetr import build_model
+    from lwdetr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from lwdetr_tpu.train import checkpoint as ckpt
+    from lwdetr_tpu.train.engine import (build_eval_step, build_train_step,
+                                         create_train_state, evaluate,
+                                         train_one_epoch)
+    from lwdetr_tpu.train.optim import build_optimizer, drop_scheduler
+    from lwdetr_tpu.utils.benchmark import benchmark_model
+    from lwdetr_tpu.utils.logging import (BestMetricHolder, is_main_process,
+                                          write_log_line)
+
+    cfg = config_from_args(args)
+    mcfg, tcfg, dcfg = cfg.model, cfg.train, cfg.data
+    print(f"config: {mcfg}")
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    np.random.seed(tcfg.seed)
+
+    mesh = make_mesh()
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_model(mcfg, dtype=dtype)
+    criterion = SetCriterion(mcfg, tcfg)
+
+    # data
+    ds_val = build_dataset("val", dcfg)
+    val_loader = DetectionLoader(
+        ds_val, batch_size=max(tcfg.batch_size, 1), train=False,
+        max_gt=tcfg.max_gt, square_div_64=dcfg.square_resize_div_64,
+        process_index=jax.process_index(), process_count=jax.process_count())
+    if not args.eval:
+        ds_train = build_dataset("train", dcfg)
+        train_loader = DetectionLoader(
+            ds_train, batch_size=tcfg.batch_size, train=True,
+            max_gt=tcfg.max_gt, seed=tcfg.seed,
+            square_div_64=dcfg.square_resize_div_64,
+            process_index=jax.process_index(), process_count=jax.process_count())
+        niter_per_ep = len(train_loader)
+    else:
+        niter_per_ep = 1
+
+    # state
+    sample = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    init_params = model.init({"params": rng, "dropout": rng}, sample, train=True)
+    tx = build_optimizer(init_params["params"], mcfg, tcfg, niter_per_ep)
+    state = create_train_state(model, tx, rng, sample, use_ema=tcfg.use_ema)
+
+    # pretrain / encoder weights (reference main.py:240-259, backbone.py:77-85)
+    if args.pretrain_weights:
+        state = _load_pretrain(state, args, mcfg, ckpt)
+    if args.resume:
+        restored, step = ckpt.restore_checkpoint(args.resume, state)
+        if restored is not None:
+            state = restored
+            args.start_epoch = int(np.asarray(state.step)) // max(niter_per_ep, 1)
+            print(f"resumed from {args.resume} at step {int(np.asarray(state.step))}")
+
+    state = jax.device_put(state, replicated(mesh))
+
+    if is_main_process() and not args.dont_bench:
+        benchmark_model(model, {"params": state.params,
+                                "batch_stats": state.batch_stats})
+
+    eval_step = build_eval_step(model, mcfg.num_select)
+    put = lambda b: shard_batch(mesh, b)
+
+    def run_eval(params, batch_stats):
+        evaluator = CocoEvaluator(ds_val.coco)
+        return evaluate(eval_step, params, batch_stats, val_loader, evaluator,
+                        put_fn=put)
+
+    if args.eval:
+        stats = run_eval(state.params, state.batch_stats)
+        if tcfg.use_ema and state.ema is not None:
+            print("EMA eval:")
+            stats_ema = run_eval(state.ema["params"], state.ema["batch_stats"])
+        print(json.dumps(stats))
+        return
+
+    # schedules (reference main.py:296-309)
+    dp_sched = drop_scheduler(mcfg.drop_path, tcfg.epochs, niter_per_ep,
+                              tcfg.cutoff_epoch, tcfg.drop_mode, tcfg.drop_schedule)
+    do_sched = drop_scheduler(mcfg.dropout, tcfg.epochs, niter_per_ep,
+                              tcfg.cutoff_epoch, tcfg.drop_mode, tcfg.drop_schedule)
+
+    train_step = build_train_step(
+        model, criterion, tx, ema_decay=tcfg.ema_decay, use_ema=tcfg.use_ema,
+        vit_depth=mcfg.vit_encoder_num_layers)
+
+    best = BestMetricHolder(use_ema=tcfg.use_ema)
+    start = time.time()
+    for epoch in range(args.start_epoch, tcfg.epochs):
+        train_loader.set_epoch(epoch)
+        state, train_meters = train_one_epoch(
+            train_step, state, train_loader, epoch, rng,
+            dp_sched, do_sched, niter_per_ep, put_fn=put)
+
+        if args.output_dir and is_main_process():
+            ckpt.save_checkpoint(
+                os.path.join(args.output_dir, "ckpt"), epoch, state)
+
+        stats = run_eval(state.params, state.batch_stats)
+        record = {"epoch": epoch,
+                  **{f"train_{k}": v for k, v in train_meters.items()},
+                  **{f"test_{k}": v for k, v in stats.items()}}
+        map_regular = stats["AP"]
+        if best.update(map_regular, epoch):
+            record["best_regular"] = map_regular
+        if tcfg.use_ema:
+            stats_ema = run_eval(state.ema["params"], state.ema["batch_stats"])
+            record.update({f"ema_test_{k}": v for k, v in stats_ema.items()})
+            best.update(stats_ema["AP"], epoch, is_ema=True)
+        write_log_line(args.output_dir, record)
+
+    total = time.time() - start
+    print(f"Training time {datetime.timedelta(seconds=int(total))}")
+
+
+def _load_pretrain(state, args, mcfg, ckpt_mod):
+    """--pretrain_weights with exclude/remap hooks (reference main.py:240-259)."""
+    import torch
+
+    from lwdetr_tpu.train.checkpoint import clean_state_dict, torch_to_flax
+    from lwdetr_tpu.utils.obj365_remap import remap_torch_state_dict
+
+    raw = torch.load(args.pretrain_weights, map_location="cpu", weights_only=False)
+    sd = raw.get("model", raw)
+    sd = clean_state_dict(
+        {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+         for k, v in sd.items()})
+    for k in args.pretrain_exclude_keys or []:
+        sd.pop(k, None)
+    if args.pretrain_keys_modify_to_load:
+        from lwdetr_tpu.train.checkpoint import flax_to_torch
+
+        cur_sd = flax_to_torch(
+            {"params": state.params, "batch_stats": state.batch_stats}, mcfg)
+        sd = remap_torch_state_dict(cur_sd, sd, args.pretrain_keys_modify_to_load)
+    variables = torch_to_flax(sd, mcfg, strict=False)
+    params = _merge(state.params, variables.get("params", {}))
+    bs = _merge(state.batch_stats, variables.get("batch_stats", {}))
+    print(f"loaded pretrain weights from {args.pretrain_weights}")
+    return state._replace(params=params, batch_stats=bs)
+
+
+def _merge(base, overlay):
+    """Non-strict merge: overlay leaves replace base where both exist."""
+    if not isinstance(base, dict):
+        return overlay if overlay is not None else base
+    out = dict(base)
+    for k, v in (overlay or {}).items():
+        if k in out:
+            out[k] = _merge(out[k], v)
+    return out
+
+
+def export_model(args):
+    """AOT-compile the inference function and serialize it
+    (deploy counterpart of reference deploy/export.py; ONNX/TRT become
+    jax.export artifacts loadable without Python model code)."""
+    from lwdetr_tpu.deploy.export import export_main
+
+    export_main(args, config_from_args(args))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "LW-DETR TPU", parents=[get_args_parser()])
+    args = parser.parse_args()
+    if args.subcommand == "export_model":
+        export_model(args)
+    else:
+        main(args)

@@ -1,0 +1,40 @@
+"""Export round-trip: serialized StableHLO artifact reproduces direct apply
+(the deploy-parity check the reference does via ONNX/TRT mAP re-eval,
+deploy/benchmark.py:555-583 — here exact output equality is testable)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lwdetr_tpu.config import ModelConfig
+from lwdetr_tpu.deploy.export import export_serialized, load_serialized, make_export_fn
+from lwdetr_tpu.models.lwdetr import build_model
+
+NANO = ModelConfig(
+    encoder="vit_tiny", vit_encoder_num_layers=2,
+    window_block_indexes=(0,), out_feature_indexes=(0, 1),
+    projector_scale=("P4",), hidden_dim=64, dim_feedforward=128,
+    sa_nheads=4, ca_nheads=8, dec_n_points=2, dec_layers=2,
+    group_detr=3, num_queries=12, num_select=10, num_classes=7,
+    two_stage=True, bbox_reparam=True, lite_refpoint_refine=True)
+
+
+def test_export_roundtrip(tmp_path):
+    model = build_model(NANO)
+    images = np.random.default_rng(0).standard_normal(
+        (1, 128, 128, 3)).astype(np.float32)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(images), train=True))
+
+    path = export_serialized(model, variables, str(tmp_path / "m.pkl"),
+                             input_hw=(128, 128), batch=1,
+                             num_select=NANO.num_select)
+    call, weights = load_serialized(path)
+    s2, l2, b2 = call(weights, images)
+
+    fn = make_export_fn(model, NANO.num_select, (128, 128))
+    s1, l1, b1 = fn(variables, jnp.asarray(images))
+
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
