@@ -57,15 +57,23 @@ def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> j
 
 
 class Attention(nn.Module):
-    """Fused-qkv multi-head self-attention with CAE bias trick."""
+    """Fused-qkv multi-head self-attention with CAE bias trick.
+
+    The softmax-attention core goes through ops/flash_attention.sdpa: a
+    Pallas kernel fusing QK^T+softmax+PV in VMEM for the global blocks, XLA
+    einsums for the short window blocks.
+    """
 
     dim: int
     num_heads: int
     use_cae: bool = True
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from lwdetr_tpu.ops.flash_attention import sdpa
+
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -84,9 +92,8 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = sdpa(q, k, v, scale=scale, use_pallas=self.use_flash)
+        out = out.reshape(B, N, C)
 
         out = nn.Dense(C, dtype=self.dtype, name="proj",
                        kernel_init=nn.initializers.truncated_normal(0.02))(out)
