@@ -41,20 +41,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     # overhead for the many tiny window-attention slices.
     g, blk_q, hd = q_ref.shape
     n_pad = k_ref.shape[1]
-    q = q_ref[...].astype(jnp.float32) * scale
-    k = k_ref[...].astype(jnp.float32)
+    # keep matmul INPUTS in the storage dtype (bf16 feeds the MXU at full
+    # rate); accumulate fp32; scale the fp32 scores after the dot
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
+        q_ref[...], k_ref[...], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (g, blk_q, Npad)
+    s = s * scale
     if n_pad != kv_len:
         col = jax.lax.broadcasted_iota(jnp.int32, (g, blk_q, n_pad), 2)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[...].astype(jnp.float32)
     o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
+        p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[...] = (o / l).astype(o_ref.dtype)
 
@@ -79,11 +79,18 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
-    if N >= 1024:
-        blk_q = 512
+    # prefer an EXACT divisor block (multiple of 8 sublanes): padding N to
+    # the block grid costs real MXU work (1600 -> 2048 is +28% FLOPs)
+    blk_q = 0
+    for cand in range(512, 7, -8):
+        if N % cand == 0:
+            blk_q = cand
+            break
+    if blk_q >= 64:
+        n_pad = N
     else:
         blk_q = min(_round_up(N, 128), 512)
-    n_pad = _round_up(N, blk_q)
+        n_pad = _round_up(N, blk_q)
 
     # score tile (blk_q, Npad) fp32 + K/V panels must fit VMEM (~16 MB)
     vmem_need = blk_q * n_pad * 4 + 3 * n_pad * max(D, 128) * 4
