@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from lwdetr_tpu.ops.deform_attn import ms_deform_attn, sampling_offsets_init_bias
+from lwdetr_tpu.ops.deform_attn import ms_deform_attn_fast, sampling_offsets_init_bias
 from lwdetr_tpu.ops.embeddings import query_sine_embed
 
 
@@ -158,7 +158,7 @@ class MSDeformAttnModule(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
-        out = ms_deform_attn(value, spatial_shapes, loc, weights)
+        out = ms_deform_attn_fast(value, spatial_shapes, loc, weights)
         return nn.Dense(C, dtype=self.dtype, name="output_proj",
                         kernel_init=nn.initializers.xavier_uniform())(out)
 
