@@ -91,7 +91,6 @@ class Attention(nn.Module):
         qkv = x @ qkv_kernel.astype(self.dtype) + qkv_bias.astype(self.dtype)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
-
         out = sdpa(q, k, v, scale=scale, use_pallas=self.use_flash)
         out = out.reshape(B, N, C)
 

@@ -69,13 +69,19 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     interpret: bool = False,
+    head_major: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention over (B, N, H, D) tensors (no mask — the encoder never
-    masks: reference vit.py:361 always passes mask=None).
+    """Fused attention (no mask — the encoder never masks: reference
+    vit.py:361 always passes mask=None).
 
-    Returns (B, N, H, D), same dtype as q.
+    Layouts: (B, N, H, D) by default; with head_major=True inputs AND output
+    are (B, H, N, D) and the kernel does no transposes at all (callers fuse
+    the layout change into the qkv unpacking, one HBM pass instead of four).
     """
-    B, N, H, D = q.shape
+    if head_major:
+        B, H, N, D = q.shape
+    else:
+        B, N, H, D = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
@@ -99,9 +105,14 @@ def flash_attention(
 
     # head-major (B*H, N, D): the hd=16..64 head dim is the FULL last block
     # dim (Pallas requires last-two block dims (÷8, ÷128) or full)
-    qh = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
-    kh = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
-    vh = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    if head_major:
+        qh = q.reshape(B * H, N, D)
+        kh = k.reshape(B * H, N, D)
+        vh = v.reshape(B * H, N, D)
+    else:
+        qh = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+        kh = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+        vh = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     if n_pad != N:
         pad = [(0, 0), (0, n_pad - N), (0, 0)]
         qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
@@ -146,7 +157,8 @@ def flash_attention(
     )(qh, kh, vh)
     if n_pad != N:
         out = out[:, :N]
-    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, N, D)
+    return out if head_major else out.transpose(0, 2, 1, 3)
 
 
 def _xla_sdpa(q, k, v, scale):
@@ -155,22 +167,32 @@ def _xla_sdpa(q, k, v, scale):
     return jnp.einsum("bhnm,bmhd->bnhd", a, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention_diff(q, k, v, scale, interpret):
-    return flash_attention(q, k, v, scale=scale, interpret=interpret)
+def _xla_sdpa_hm(q, k, v, scale):
+    """head-major (B, H, N, D) reference."""
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", a, v)
 
 
-def _flash_fwd(q, k, v, scale, interpret):
-    return flash_attention(q, k, v, scale=scale, interpret=interpret), (q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_diff(q, k, v, scale, interpret, head_major=False):
+    return flash_attention(q, k, v, scale=scale, interpret=interpret,
+                           head_major=head_major)
 
 
-def _flash_bwd(scale, interpret, res, g):
+def _flash_fwd(q, k, v, scale, interpret, head_major=False):
+    return flash_attention(q, k, v, scale=scale, interpret=interpret,
+                           head_major=head_major), (q, k, v)
+
+
+def _flash_bwd(scale, interpret, head_major, res, g):
     # Recompute-based backward through the XLA formulation: the training
     # step's grad graph materializes scores only in backward (the reference
     # materializes them in BOTH directions). A Pallas backward kernel can
     # replace this without touching callers.
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_sdpa(q, k, v, scale), q, k, v)
+    ref = _xla_sdpa_hm if head_major else _xla_sdpa
+    _, vjp = jax.vjp(lambda q, k, v: ref(q, k, v, scale), q, k, v)
     return vjp(g)
 
 
@@ -190,5 +212,17 @@ def sdpa(q, k, v, scale=None, use_pallas: bool = True, interpret: bool = False):
         scale = 1.0 / math.sqrt(D)
     on_tpu = jax.default_backend() == "tpu"
     if interpret or (use_pallas and on_tpu and N >= 512):
-        return _flash_attention_diff(q, k, v, scale, interpret)
+        return _flash_attention_diff(q, k, v, scale, interpret, False)
     return _xla_sdpa(q, k, v, scale)
+
+
+def sdpa_head_major(q, k, v, scale=None, use_pallas: bool = True,
+                    interpret: bool = False):
+    """Attention over head-major (B, H, N, D) q/k/v, returning head-major."""
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret or (use_pallas and on_tpu and N >= 512):
+        return _flash_attention_diff(q, k, v, scale, interpret, True)
+    return _xla_sdpa_hm(q, k, v, scale)
