@@ -75,6 +75,7 @@ class DetectionLoader:
         process_count: int = 1,
         prefetch: int = 2,
         drop_last: Optional[bool] = None,
+        use_native: bool = True,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -87,6 +88,7 @@ class DetectionLoader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.drop_last = train if drop_last is None else drop_last
+        self.use_native = use_native
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -125,10 +127,42 @@ class DetectionLoader:
                 samples = _pad_to_common(samples)
         else:
             for i in idxs:
-                img, tgt = self.ds.load_raw(int(i))
-                img, tgt = T.val_transform_square(img, tgt, self.eval_size)
-                samples.append((img, tgt))
+                sample = self._eval_sample_native(int(i)) if self.use_native else None
+                if sample is None:
+                    img, tgt = self.ds.load_raw(int(i))
+                    img, tgt = T.val_transform_square(img, tgt, self.eval_size)
+                    sample = (img, tgt)
+                samples.append(sample)
         return collate(samples, self.max_gt)
+
+    def _eval_sample_native(self, idx: int):
+        """Fused C++ decode+resize+normalize (native/preproc.cpp); targets
+        prepared from annotations without decoding through PIL."""
+        import os
+
+        from lwdetr_tpu.data import native
+        from lwdetr_tpu.data.coco import convert_coco_target
+
+        ds = self.ds
+        if not hasattr(ds, "coco"):
+            return None
+        img_id = ds.ids[idx]
+        info = ds.coco.imgs[img_id]
+        path = os.path.join(ds.img_folder, info["file_name"])
+        out = native.load_image_fast(path, self.eval_size)
+        if out is None:
+            return None
+        arr, h, w = out
+        tgt = convert_coco_target(ds.coco.load_anns(img_id), w, h, img_id)
+        # square resize scales boxes by (size/w, size/h); then normalize cxcywh
+        sx, sy = self.eval_size / w, self.eval_size / h
+        tgt["boxes"] = tgt["boxes"] * np.array([sx, sy, sx, sy], np.float32)
+        tgt["size"] = np.array([self.eval_size, self.eval_size])
+        from PIL import Image
+
+        dummy = Image.new("RGB", (self.eval_size, self.eval_size))
+        _, tgt = T.normalize(dummy, tgt)
+        return arr, tgt
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idxs = self._indices()
