@@ -92,3 +92,42 @@ def query_sine_embed(pos: jnp.ndarray, dim: int = 128) -> jnp.ndarray:
         pos_h = emb(pos[..., 3])
         return jnp.concatenate([pos_y, pos_x, pos_w, pos_h], axis=-1)
     raise ValueError(f"pos last dim must be 2 or 4, got {pos.shape[-1]}")
+
+
+class PositionEmbeddingLearned:
+    """Learned 50x50 row/col embedding (reference position_encoding.py:98-128).
+
+    Provided for API parity with `--position_embedding learned`; note the
+    decoder never consumes image position embeddings (see models/lwdetr.py
+    docstring), so this only matters for architecture variants that do.
+    """
+
+    def __init__(self, num_pos_feats: int = 256):
+        self.num_pos_feats = num_pos_feats
+
+    def init_params(self, rng):
+        import jax
+
+        r1, r2 = jax.random.split(rng)
+        return {
+            "row_embed": jax.random.uniform(r1, (50, self.num_pos_feats)),
+            "col_embed": jax.random.uniform(r2, (50, self.num_pos_feats)),
+        }
+
+    def __call__(self, params, h: int, w: int):
+        """-> (h, w, 2*num_pos_feats): concat(col_embed[x], row_embed[y])."""
+        x_emb = params["col_embed"][:w]  # (w, C)
+        y_emb = params["row_embed"][:h]  # (h, C)
+        grid_x = jnp.broadcast_to(x_emb[None, :, :], (h, w, self.num_pos_feats))
+        grid_y = jnp.broadcast_to(y_emb[:, None, :], (h, w, self.num_pos_feats))
+        return jnp.concatenate([grid_x, grid_y], axis=-1)
+
+
+def build_position_encoding(position_embedding: str, hidden_dim: int):
+    """Registry matching the reference (position_encoding.py:131-141)."""
+    n_steps = hidden_dim // 2
+    if position_embedding in ("v2", "sine"):
+        return lambda mask: sine_position_embedding(mask, n_steps, normalize=True)
+    if position_embedding in ("v3", "learned"):
+        return PositionEmbeddingLearned(n_steps)
+    raise ValueError(f"not supported {position_embedding}")
