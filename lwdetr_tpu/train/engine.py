@@ -38,7 +38,10 @@ def create_train_state(model: LWDETR, tx, rng, sample_images, use_ema: bool):
         sample_images, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    ema = ({"params": params, "batch_stats": batch_stats} if use_ema else None)
+    # EMA must not alias the live params (donation would see the same buffer
+    # twice); deep-copy like the reference's deepcopy (util/utils.py:12)
+    ema = (jax.tree.map(jnp.copy, {"params": params, "batch_stats": batch_stats})
+           if use_ema else None)
     return TrainState(
         params=params,
         batch_stats=batch_stats,

@@ -1,0 +1,9 @@
+#!/bin/bash
+# LW-DETR-small COCO evaluation; $2 = checkpoint (orbax dir or .pth)
+coco_path=$1
+checkpoint=$2
+python main.py \
+    --preset small \
+    --coco_path $coco_path \
+    --eval --resume $checkpoint \
+    --output_dir output/lwdetr_small_coco_eval
