@@ -255,6 +255,34 @@ def flax_to_torch(variables: dict, cfg: ModelConfig) -> Dict[str, np.ndarray]:
     return sd
 
 
+def load_pretrained_encoder(path: str, cfg: ModelConfig) -> dict:
+    """Load a CAE-pretrained ViT checkpoint into the encoder subtree.
+
+    Reference backbone.py:77-85: torch.load(...)['model'], strip the
+    'encoder.' key prefix, load_state_dict(strict=False) into the ViT.
+    Returns {'params': {'backbone': {'encoder': ...}}} with whatever keys
+    matched; callers merge it non-strictly over freshly-init params.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k.replace("encoder.", "", 1) if k.startswith("encoder.") else k: v
+          for k, v in sd.items()}
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    enc_prefix = "backbone.0.encoder."
+    out: dict = {"params": {}}
+    for tk, coll, fp, kind in build_mapping(cfg):
+        if not tk.startswith(enc_prefix) or coll != "params":
+            continue
+        short = tk[len(enc_prefix):]
+        if short not in sd:
+            continue
+        _set_path(out["params"], fp, np.asarray(_t2f(np.asarray(sd[short]), kind)))
+    return out
+
+
 def load_pth(path: str, cfg: ModelConfig, key: str = "model"):
     """Load a reference .pth checkpoint into flax variables."""
     import torch

@@ -97,6 +97,13 @@ def get_args_parser():
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--fp16_eval", action="store_true",
+                   help="half-precision eval (bfloat16 on TPU; reference "
+                        "engine.py:96-97 uses model.half())")
+    p.add_argument("--sync_bn", action="store_true",
+                   help="CLI parity with reference main.py:207-208; under "
+                        "jit+sharding BatchNorm batch stats already reduce "
+                        "over the GLOBAL batch, so this is always on")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--ema_decay", default=0.9997, type=float)
     p.add_argument("--num_workers", default=2, type=int)
@@ -109,6 +116,8 @@ def get_args_parser():
     pe.add_argument("--shape", type=int, nargs=2, default=(640, 640))
     pe.add_argument("--infer_dir", type=str, default=None)
     pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("--dry-run", "--test", "-t", dest="dry_run",
+                    action="store_true", help="just print what would run")
     return p
 
 
@@ -204,6 +213,12 @@ def main(args):
     mcfg, tcfg, dcfg = cfg.model, cfg.train, cfg.data
     print(f"config: {mcfg}")
 
+    # fail fast on bad weight paths — model init takes minutes on TPU
+    for flag, path in (("--pretrained_encoder", args.pretrained_encoder),
+                       ("--pretrain_weights", args.pretrain_weights)):
+        if path and not os.path.exists(path):
+            raise FileNotFoundError(f"{flag}: no such file: {path}")
+
     rng = jax.random.PRNGKey(tcfg.seed)
     np.random.seed(tcfg.seed)
 
@@ -236,8 +251,19 @@ def main(args):
     state = create_train_state(model, tx, rng, sample, use_ema=tcfg.use_ema)
 
     # pretrain / encoder weights (reference main.py:240-259, backbone.py:77-85)
+    if args.pretrained_encoder:
+        enc_vars = ckpt.load_pretrained_encoder(args.pretrained_encoder, mcfg)
+        n_loaded = sum(1 for _ in jax.tree.leaves(enc_vars["params"]))
+        state = state._replace(
+            params=_merge(state.params, enc_vars["params"]))
+        print(f"loaded {n_loaded} encoder arrays from {args.pretrained_encoder}")
     if args.pretrain_weights:
         state = _load_pretrain(state, args, mcfg, ckpt)
+    if (args.pretrained_encoder or args.pretrain_weights) and tcfg.use_ema:
+        # reference main.py:257-259: EMA is re-seeded from the loaded weights
+        # (and the CAE encoder load happens before ModelEma is constructed)
+        state = state._replace(ema=jax.tree.map(
+            jnp.copy, {"params": state.params, "batch_stats": state.batch_stats}))
     if args.resume:
         restored, step = ckpt.restore_checkpoint(args.resume, state)
         if restored is not None:
@@ -251,7 +277,11 @@ def main(args):
         benchmark_model(model, {"params": state.params,
                                 "batch_stats": state.batch_stats})
 
-    eval_step = build_eval_step(model, mcfg.num_select)
+    # --fp16_eval: half-precision eval compute (reference engine.py:96-97);
+    # bf16 is the TPU-native half type — same MXU speedup, wider exponent
+    eval_model = (build_model(mcfg, dtype=jnp.bfloat16)
+                  if (args.fp16_eval and not args.bf16) else model)
+    eval_step = build_eval_step(eval_model, mcfg.num_select)
     put = lambda b: shard_batch(mesh, b)
 
     def run_eval(params, batch_stats):
@@ -334,9 +364,15 @@ def _load_pretrain(state, args, mcfg, ckpt_mod):
 
 
 def _merge(base, overlay):
-    """Non-strict merge: overlay leaves replace base where both exist."""
+    """Non-strict merge: overlay leaves replace base where both exist and
+    shapes agree (reference load_state_dict(strict=False) semantics)."""
     if not isinstance(base, dict):
-        return overlay if overlay is not None else base
+        if overlay is None:
+            return base
+        if hasattr(base, "shape") and hasattr(overlay, "shape") \
+                and base.shape != overlay.shape:
+            return base
+        return overlay
     out = dict(base)
     for k, v in (overlay or {}).items():
         if k in out:
@@ -350,6 +386,11 @@ def export_model(args):
     jax.export artifacts loadable without Python model code)."""
     from lwdetr_tpu.deploy.export import export_main
 
+    if getattr(args, "dry_run", False):
+        print(f"[dry-run] would AOT-compile preset={args.preset} "
+              f"shape={tuple(args.shape)} batch={args.batch} "
+              f"resume={args.resume!r} -> {args.output_dir}")
+        return
     export_main(args, config_from_args(args))
 
 

@@ -185,3 +185,53 @@ def test_roundtrip_torch_flax_torch():
         for k in keys:
             node = node[k]
         np.testing.assert_array_equal(np.asarray(val), node, err_msg=str(keys))
+
+
+def test_load_pretrained_encoder(tmp_path):
+    """CAE checkpoint ('encoder.'-prefixed ViT keys, reference
+    backbone.py:77-85) loads into the encoder subtree; non-ViT keys and
+    shape-mismatched arrays are skipped (strict=False semantics)."""
+    from lwdetr_tpu.models.lwdetr import build_model
+
+    cfg = ModelConfig(
+        encoder="vit_tiny", vit_encoder_num_layers=2,
+        window_block_indexes=(0,), out_feature_indexes=(0, 1),
+        projector_scale=("P4",), hidden_dim=64, dim_feedforward=128,
+        sa_nheads=4, ca_nheads=8, dec_n_points=2, dec_layers=2,
+        group_detr=2, num_queries=12, num_classes=7,
+        two_stage=True, bbox_reparam=True, lite_refpoint_refine=True)
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 128, 128, 3)), train=True)
+    variables = jax.tree.map(np.asarray, dict(variables))
+
+    # synthesize a CAE-style checkpoint from the model's own encoder weights
+    sd_full = ckpt.flax_to_torch(variables, cfg)
+    enc_prefix = "backbone.0.encoder."
+    cae_sd = {"encoder." + k[len(enc_prefix):]: torch.from_numpy(
+                  np.ascontiguousarray(v * 2.0))
+              for k, v in sd_full.items() if k.startswith(enc_prefix)}
+    cae_sd["decoder.some_head.weight"] = torch.zeros(3, 3)  # must be ignored
+    path = tmp_path / "cae.pth"
+    torch.save({"model": cae_sd}, path)
+
+    loaded = ckpt.load_pretrained_encoder(str(path), cfg)
+    enc = loaded["params"]["backbone"]["encoder"]
+    np.testing.assert_allclose(
+        enc["patch_embed"]["kernel"],
+        2.0 * variables["params"]["backbone"]["encoder"]["patch_embed"]["kernel"],
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        enc["blocks_1"]["attn"]["qkv_kernel"],
+        2.0 * variables["params"]["backbone"]["encoder"]["blocks_1"]["attn"]["qkv_kernel"],
+        rtol=1e-6)
+    assert "projector" not in loaded["params"].get("backbone", {})
+
+    # non-strict merge skips shape mismatches
+    import main as cli
+    base = variables["params"]
+    bad = {"backbone": {"encoder": {"pos_embed": np.zeros((1, 5, 3), np.float32)}}}
+    merged = cli._merge(base, bad)
+    assert merged["backbone"]["encoder"]["pos_embed"].shape == \
+        base["backbone"]["encoder"]["pos_embed"].shape
