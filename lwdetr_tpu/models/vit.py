@@ -59,9 +59,9 @@ def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> j
 class Attention(nn.Module):
     """Fused-qkv multi-head self-attention with CAE bias trick.
 
-    The softmax-attention core goes through ops/flash_attention.sdpa: a
-    Pallas kernel fusing QK^T+softmax+PV in VMEM for the global blocks, XLA
-    einsums for the short window blocks.
+    The softmax-attention core goes through ops/flash_attention.mha_packed:
+    a Pallas kernel fusing QK^T+softmax+PV in VMEM with the head loop inside
+    the kernel, for both window and global blocks.
     """
 
     dim: int
@@ -72,7 +72,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from lwdetr_tpu.ops.flash_attention import sdpa
+        from lwdetr_tpu.ops.flash_attention import attention_cm
 
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
@@ -88,15 +88,36 @@ class Attention(nn.Module):
         else:
             qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * C,), jnp.float32)
 
-        qkv = x @ qkv_kernel.astype(self.dtype) + qkv_bias.astype(self.dtype)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
-        out = sdpa(q, k, v, scale=scale, use_pallas=self.use_flash)
-        out = out.reshape(B, N, C)
-
-        out = nn.Dense(C, dtype=self.dtype, name="proj",
-                       kernel_init=nn.initializers.truncated_normal(0.02))(out)
+        # channel-major attention sandwich: the qkv GEMM writes (B, 3C, N)
+        # natively and the out-proj GEMM reads (B, C, N) natively, so the
+        # whole attention runs with ZERO layout copies; per-head panels are
+        # sublane blocks inside the Pallas kernel (see attention_cm)
+        qkv_t = jnp.einsum("bnc,cz->bzn", x, qkv_kernel.astype(self.dtype))
+        qkv_t = qkv_t + qkv_bias.astype(self.dtype)[:, None]
+        out_t = attention_cm(qkv_t, self.num_heads, scale=scale,
+                             use_pallas=self.use_flash)
+        out = DenseCM(C, dtype=self.dtype, name="proj")(out_t)
         return out
+
+
+class DenseCM(nn.Module):
+    """Dense layer consuming channel-major (B, C_in, N) and emitting
+    row-major (B, N, C_out). Same param names/shapes as nn.Dense, so the
+    torch<->flax checkpoint bridge is unaffected."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
+        c_in = x_t.shape[1]
+        kernel = self.param("kernel", nn.initializers.truncated_normal(0.02),
+                            (c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        out = jnp.einsum("cz,bcn->bnz", kernel.astype(self.dtype),
+                         x_t.astype(self.dtype))
+        return out + bias.astype(self.dtype)
 
 
 class Mlp(nn.Module):

@@ -161,6 +161,414 @@ def flash_attention(
     return out if head_major else out.transpose(0, 2, 1, 3)
 
 
+def _attn_cm_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    # channel-major refs: q (g, D, blk_q); k/v (g, D, N); o (g, D, blk_q).
+    # Heads are SUBLANE blocks selected by the grid — no lane slicing, no
+    # (N, H) transposes anywhere.
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (g, blk_q, N)
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(v_ref.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        v_ref[...], p, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
+    """Attention over channel-major packed qkv (B, 3C, N) -> (B, C, N).
+
+    The qkv GEMM emits (B, 3C, N) natively (einsum 'bnc,cz->bzn' — XLA
+    writes the MXU output in this orientation without a copy), and the
+    out-projection consumes (B, C, N) natively ('cz,bcn->bnz'), so the
+    full attention sandwich runs with ZERO layout copies. Per-head q/k/v
+    panels are (D, N) sublane-blocks of qkv_t — legal BlockSpec blocks
+    (sublane blocks need only 8-divisibility, D >= 16)."""
+    B, ZC, N = qkv_t.shape
+    C = ZC // 3
+    D = C // num_heads
+    H = num_heads
+
+    # q lane-block: Mosaic pads the ragged tail block internally; K/V
+    # panels span the full (unpadded) N so no masking is ever needed.
+    blk_q = min(_round_up(N, 128), 128)
+    n_q = (N + blk_q - 1) // blk_q
+
+    # batch g images per program: amortizes grid overhead for windows AND
+    # for global blocks (measured 5.9 -> 4.1 ms at g=8 on small@640)
+    budget = 10 * 1024 * 1024
+    n_r = _round_up(N, 128)
+    per_slice = 6 * blk_q * n_r + 4 * max(D, 8) * n_r * 4
+    g = max(1, min(16, budget // max(per_slice, 1)))
+    while B % g:
+        g -= 1
+
+    vmem_need = g * per_slice
+    if vmem_need > 13 * 1024 * 1024:
+        q = qkv_t[:, :C].reshape(B, H, D, N).transpose(0, 3, 1, 2)
+        k = qkv_t[:, C:2 * C].reshape(B, H, D, N).transpose(0, 3, 1, 2)
+        v = qkv_t[:, 2 * C:].reshape(B, H, D, N).transpose(0, 3, 1, 2)
+        out = _xla_sdpa(q, k, v, scale)  # (B, N, H, D)
+        return out.transpose(0, 2, 3, 1).reshape(B, C, N)
+
+    grid = (B // g, H, n_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_cm_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, D, blk_q), lambda b, h, qi: (b, h, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, N), lambda b, h, qi: (b, H + h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, N), lambda b, h, qi: (b, 2 * H + h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, D, blk_q), lambda b, h, qi: (b, h, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, N), qkv_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * N * D,
+            bytes_accessed=4 * B * H * N * D * qkv_t.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_t, qkv_t, qkv_t)
+    return out
+
+
+def _xla_sdpa_cm(qkv_t, num_heads, scale):
+    B, ZC, N = qkv_t.shape
+    C = ZC // 3
+    D = C // num_heads
+    q = qkv_t[:, :C].reshape(B, num_heads, D, N).transpose(0, 3, 1, 2)
+    k = qkv_t[:, C:2 * C].reshape(B, num_heads, D, N).transpose(0, 3, 1, 2)
+    v = qkv_t[:, 2 * C:].reshape(B, num_heads, D, N).transpose(0, 3, 1, 2)
+    out = _xla_sdpa(q, k, v, scale)  # (B, N, H, D)
+    return out.transpose(0, 2, 3, 1).reshape(B, C, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attn_cm_diff(qkv_t, num_heads, scale, interpret):
+    return _attn_cm_impl(qkv_t, num_heads, scale, interpret)
+
+
+def _attn_cm_fwd(qkv_t, num_heads, scale, interpret):
+    return _attn_cm_impl(qkv_t, num_heads, scale, interpret), (qkv_t,)
+
+
+def _attn_cm_bwd(num_heads, scale, interpret, res, g):
+    (qkv_t,) = res
+    _, vjp = jax.vjp(lambda t: _xla_sdpa_cm(t, num_heads, scale), qkv_t)
+    return vjp(g)
+
+
+_attn_cm_diff.defvjp(_attn_cm_fwd, _attn_cm_bwd)
+
+
+def attention_cm(qkv_t, num_heads: int, scale: Optional[float] = None,
+                 use_pallas: bool = True, interpret: bool = False):
+    """Fused attention over channel-major packed qkv (B, 3*C, N) -> (B, C, N)."""
+    B, ZC, N = qkv_t.shape
+    assert ZC % (3 * num_heads) == 0
+    if scale is None:
+        scale = 1.0 / math.sqrt(ZC // 3 // num_heads)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret or (use_pallas and on_tpu):
+        return _attn_cm_diff(qkv_t, num_heads, scale, interpret)
+    return _xla_sdpa_cm(qkv_t, num_heads, scale)
+
+
+def _qkv_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    # refs: q (g, blk_q, 1, 1, D); k/v (g, n_pad, 1, 1, D); o (g, blk_q, 1, D)
+    g, blk_q, _, _, D = q_ref.shape
+    n_pad = k_ref.shape[1]
+    q = q_ref[:, :, 0, 0, :]
+    k = k_ref[:, :, 0, 0, :]
+    v = v_ref[:, :, 0, 0, :]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    if n_pad != kv_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, blk_q, n_pad), 2)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[:, :, 0, :] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_qkv_impl(qkv, scale, interpret):
+    """Attention straight off the packed (B, N, 3, H, D) qkv tensor.
+
+    The head and q/k/v axes are GRID/BlockSpec dimensions, not data
+    movement: XLA never materializes transposed (B*H, N, D) copies (those
+    copies cost ~7% of the whole LW-DETR-small forward). Output is
+    (B, N, H, D) — contiguous for the .reshape(B, N, C) the out-proj wants.
+    """
+    B, N, _, H, D = qkv.shape
+
+    blk_q = 0
+    for cand in range(512, 7, -8):
+        if N % cand == 0:
+            blk_q = cand
+            break
+    if blk_q >= 64:
+        n_pad = N
+    else:
+        blk_q = min(_round_up(N, 128), 512)
+        n_pad = _round_up(N, blk_q)
+    if n_pad != N:
+        qkv = jnp.pad(qkv, [(0, 0), (0, n_pad - N), (0, 0), (0, 0), (0, 0)])
+
+    # batch g images per program for short sequences (window attention)
+    if n_pad == blk_q:
+        budget = 6 * 1024 * 1024
+        d_pad = max(D, 128)
+        per_slice = blk_q * n_pad * 4 + 4 * n_pad * d_pad * 8
+        g = max(1, min(64, budget // per_slice))
+        while B % g:
+            g -= 1
+    else:
+        g = 1
+
+    vmem_need = g * (blk_q * n_pad * 4 + 3 * n_pad * max(D, 128) * 4)
+    if vmem_need > 13 * 1024 * 1024:
+        q, k, v = qkv[:, :N, 0], qkv[:, :N, 1], qkv[:, :N, 2]
+        return _xla_sdpa(q, k, v, scale)
+
+    grid = (B // g, H, n_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_qkv_attn_kernel, scale=scale, kv_len=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, blk_q, 1, 1, D), lambda b, h, qi: (b, qi, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, 1, 1, D), lambda b, h, qi: (b, 0, 1, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, 1, 1, D), lambda b, h, qi: (b, 0, 2, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, blk_q, 1, D), lambda b, h, qi: (b, qi, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, H, D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * n_pad * n_pad * D,
+            bytes_accessed=4 * B * H * n_pad * D * qkv.dtype.itemsize,
+            transcendentals=B * H * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    if n_pad != N:
+        out = out[:, :N]
+    return out
+
+
+def _xla_sdpa_qkv(qkv, scale):
+    return _xla_sdpa(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_qkv_diff(qkv, scale, interpret):
+    return _flash_qkv_impl(qkv, scale, interpret)
+
+
+def _flash_qkv_fwd(qkv, scale, interpret):
+    return _flash_qkv_impl(qkv, scale, interpret), (qkv,)
+
+
+def _flash_qkv_bwd(scale, interpret, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda t: _xla_sdpa_qkv(t, scale), qkv)
+    return vjp(g)
+
+
+_flash_qkv_diff.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def flash_attention_qkv(qkv, scale: Optional[float] = None,
+                        use_pallas: bool = True, interpret: bool = False):
+    """Fused attention over the packed (B, N, 3, H, D) qkv projection output.
+
+    Returns (B, N, H, D).
+    """
+    B, N, three, H, D = qkv.shape
+    assert three == 3
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret or (use_pallas and on_tpu):
+        return _flash_qkv_diff(qkv, scale, interpret)
+    return _xla_sdpa_qkv(qkv, scale)
+
+
+def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       kv_len: int, num_heads: int, blk_k: int):
+    """Heads-packed attention: refs are (g, blk, H*D); the head loop lives
+    INSIDE the kernel as static lane slices, so callers never transpose the
+    (B, N, H, D) axes — q/k/v arrive exactly as the qkv GEMM wrote them.
+
+    K/V panels are VMEM-resident; the kv-chunk loop (flash-style online
+    softmax) only bounds the live fp32 score tile to (g, blk_q, blk_k) so
+    the unrolled head loop can't blow the VMEM stack."""
+    g, blk_q, C = q_ref.shape
+    n_pad = k_ref.shape[1]
+    D = C // num_heads
+    n_chunks = n_pad // blk_k
+    for h in range(num_heads):
+        sl = slice(h * D, (h + 1) * D)
+        qh = q_ref[:, :, sl]
+        m = jnp.full((g, blk_q, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((g, blk_q, 1), jnp.float32)
+        acc = jnp.zeros((g, blk_q, D), jnp.float32)
+        for kc in range(n_chunks):
+            krows = slice(kc * blk_k, (kc + 1) * blk_k)
+            s = jax.lax.dot_general(
+                qh, k_ref[:, krows, sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (g, blk_q, blk_k)
+            s = s * scale
+            if (kc + 1) * blk_k > kv_len:  # only the tail chunk is masked
+                col = kc * blk_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (g, blk_q, blk_k), 2)
+                s = jnp.where(col >= kv_len, NEG_INF, s)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[:, krows, sl],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m = m_new
+        o_ref[:, :, sl] = (acc / l).astype(o_ref.dtype)
+
+
+def _mha_packed_impl(q, k, v, num_heads, scale, interpret):
+    B, N, C = q.shape
+
+    # full-M MXU tiles: blk_q = 128 (pad N up); short sequences (windows)
+    # run as one block so g-batching can amortize the grid
+    if N <= 128:
+        blk_q = n_pad = _round_up(N, 128)
+    else:
+        blk_q = 128
+        n_pad = _round_up(N, 128)
+
+    if n_pad != N:
+        pad = [(0, 0), (0, n_pad - N), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    # kv chunk: bounds the live fp32 score tile; K/V panels stay resident
+    blk_k = n_pad
+    for cand in range(512, 127, -128):
+        if n_pad % cand == 0:
+            blk_k = cand
+            break
+
+    # batch g rows per program when each row is small (window attention)
+    if n_pad == blk_q:
+        budget = 5 * 1024 * 1024
+        # a few head iterations' score tiles stay live under Mosaic's
+        # scheduler; budget ~4 of them plus the bf16+fp32 panel copies
+        per_slice = 4 * blk_q * blk_k * 4 + 4 * n_pad * C * 4
+        g = max(1, min(32, budget // per_slice))
+        while B % g:
+            g -= 1
+    else:
+        g = 1
+
+    # q/k/v/o panels + a few live score tiles must fit VMEM
+    vmem_need = g * (4 * blk_q * blk_k * 4 + 4 * n_pad * C * 4)
+    if vmem_need > 13 * 1024 * 1024:
+        D = C // num_heads
+        qh = q[:, :N].reshape(B, N, num_heads, D)
+        kh = k[:, :N].reshape(B, N, num_heads, D)
+        vh = v[:, :N].reshape(B, N, num_heads, D)
+        return _xla_sdpa(qh, kh, vh, scale).reshape(B, N, C)
+
+    grid = (B // g, n_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_mha_packed_kernel, scale=scale, kv_len=N,
+                          num_heads=num_heads, blk_k=blk_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, blk_q, C), lambda b, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, C), lambda b, qi: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, C), lambda b, qi: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, blk_q, C), lambda b, qi: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n_pad * n_pad * C,
+            bytes_accessed=4 * B * n_pad * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if n_pad != N:
+        out = out[:, :N]
+    return out
+
+
+def _xla_sdpa_packed(q, k, v, num_heads, scale):
+    B, N, C = q.shape
+    D = C // num_heads
+    return _xla_sdpa(q.reshape(B, N, num_heads, D), k.reshape(B, N, num_heads, D),
+                     v.reshape(B, N, num_heads, D), scale).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mha_packed_diff(q, k, v, num_heads, scale, interpret):
+    return _mha_packed_impl(q, k, v, num_heads, scale, interpret)
+
+
+def _mha_packed_fwd(q, k, v, num_heads, scale, interpret):
+    return _mha_packed_impl(q, k, v, num_heads, scale, interpret), (q, k, v)
+
+
+def _mha_packed_bwd(num_heads, scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_sdpa_packed(q, k, v, num_heads, scale), q, k, v)
+    return vjp(g)
+
+
+_mha_packed_diff.defvjp(_mha_packed_fwd, _mha_packed_bwd)
+
+
+def mha_packed(q, k, v, num_heads: int, scale: Optional[float] = None,
+               use_pallas: bool = True, interpret: bool = False):
+    """Multi-head attention over heads-packed (B, N, H*D) q/k/v.
+
+    The layout matches the qkv projection GEMM's natural output, so the
+    encoder does zero (N, H) transposes around the attention op — the
+    profiler showed those XLA layout copies costing ~15% of the whole
+    LW-DETR-small forward when q/k/v were split to (B, N, H, D) first.
+    """
+    B, N, C = q.shape
+    assert C % num_heads == 0
+    if scale is None:
+        scale = 1.0 / math.sqrt(C // num_heads)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret or (use_pallas and on_tpu):
+        return _mha_packed_diff(q, k, v, num_heads, scale, interpret)
+    return _xla_sdpa_packed(q, k, v, num_heads, scale)
+
+
 def _xla_sdpa(q, k, v, scale):
     s = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
     a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)

@@ -36,3 +36,43 @@ def test_sdpa_grad_flows():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("B,N,H,D", [(4, 100, 12, 16), (2, 1600, 12, 16),
+                                     (2, 1600, 12, 32), (3, 104, 4, 48)])
+def test_mha_packed_parity(B, N, H, D):
+    """Heads-packed kernel == per-head XLA reference (window N=100 and
+    global N=1600 LW-DETR shapes, incl. non-divisor N)."""
+    from lwdetr_tpu.ops.flash_attention import mha_packed, _xla_sdpa
+
+    rng = np.random.default_rng(0)
+    C = H * D
+    q, k, v = (jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+               for _ in range(3))
+    out = mha_packed(q, k, v, H, interpret=True)
+    ref = _xla_sdpa(q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+                    v.reshape(B, N, H, D), 1.0 / np.sqrt(D)).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_packed_grad():
+    from lwdetr_tpu.ops.flash_attention import mha_packed, _xla_sdpa_packed
+
+    rng = np.random.default_rng(1)
+    B, N, H, D = 2, 100, 4, 16
+    C = H * D
+    q, k, v = (jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+               for _ in range(3))
+
+    def loss_pk(q, k, v):
+        return jnp.sum(mha_packed(q, k, v, H, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_sdpa_packed(q, k, v, H, 1.0 / np.sqrt(D)) ** 2)
+
+    g1 = jax.grad(loss_pk, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
