@@ -27,7 +27,7 @@ def main():
     cfg = get_config("small")
     model = build_model(cfg.model, dtype=jnp.bfloat16)
 
-    batch = 32
+    batch = int(__import__("os").environ.get("BENCH_BATCH", 32))
     images_np = np.random.default_rng(0).standard_normal(
         (batch, 640, 640, 3)).astype(np.float32)
     init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)

@@ -76,3 +76,26 @@ def test_mha_packed_grad():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_layer_norm_parity():
+    from lwdetr_tpu.ops.fused_ln import layer_norm, _ln_ref
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((512, 100, 192)) * 3 + 1, jnp.float32)
+    s = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    got = layer_norm(x, s, b, interpret=True)
+    ref = _ln_ref(x, s, b, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # grad parity (custom_vjp recompute path)
+    g1 = jax.grad(lambda x: jnp.sum(layer_norm(x, s, b, interpret=True) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(_ln_ref(x, s, b, 1e-6) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    # ragged rows fall back to the XLA reference
+    x2 = jnp.asarray(rng.standard_normal((7, 13, 192)), jnp.float32)
+    got2 = layer_norm(x2, s, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2),
+                               np.asarray(_ln_ref(x2, s, b, 1e-6)), atol=1e-5)
