@@ -1,0 +1,81 @@
+"""Training-step throughput benchmark (single chip).
+
+Measures the FULL jitted train step — forward, Hungarian matching (on
+device), IA-BCE + L1 + GIoU losses over last/aux/enc output sets, backward,
+AdamW, EMA — on synthetic data, mirroring the reference's per-iteration
+work (engine.py:40-86).
+
+Prints ONE JSON line like bench.py. Usage:
+  python bench_train.py [--preset small] [--batch 8] [--steps 10]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="small")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--max_gt", type=int, default=100)
+    ap.add_argument("--gt_per_img", type=int, default=7,
+                    help="valid boxes per image (COCO mean ~7)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lwdetr_tpu.config import get_config
+    from lwdetr_tpu.models.criterion import SetCriterion
+    from lwdetr_tpu.models.lwdetr import build_model
+    from lwdetr_tpu.train.engine import build_train_step, create_train_state
+    from lwdetr_tpu.train.optim import build_optimizer
+
+    cfg = get_config(args.preset)
+    model = build_model(cfg.model, dtype=jnp.bfloat16)
+    criterion = SetCriterion(cfg.model, cfg.train)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    init = model.init({"params": rng, "dropout": rng}, sample, train=True)
+    tx = build_optimizer(init["params"], cfg.model, cfg.train, 1000)
+    state = create_train_state(model, tx, rng, sample, use_ema=True)
+    step = build_train_step(model, criterion, tx, ema_decay=0.9997,
+                            use_ema=True,
+                            vit_depth=cfg.model.vit_encoder_num_layers)
+
+    B, T = args.batch, args.max_gt
+    rngd = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rngd.standard_normal((B, 640, 640, 3)),
+                              jnp.float32),
+        "labels": jnp.asarray(rngd.integers(0, cfg.model.num_classes, (B, T)),
+                              jnp.int32),
+        "boxes": jnp.asarray(rngd.uniform(0.2, 0.6, (B, T, 4)), jnp.float32),
+        "valid": jnp.asarray(np.tile(np.arange(T) < args.gt_per_img, (B, 1))),
+    }
+    r = jax.random.PRNGKey(1)
+    state, m = step(state, batch, r, jnp.float32(0.05), jnp.float32(0.0))
+    jax.device_get(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, m = step(state, batch, jax.random.fold_in(r, i),
+                        jnp.float32(0.05), jnp.float32(0.0))
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    print(json.dumps({
+        "metric": f"lwdetr_{args.preset}_640_bf16_train_throughput",
+        "value": round(B / dt, 2),
+        "unit": "img/s/chip",
+        "step_ms": round(dt * 1000, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -214,8 +214,10 @@ class SetCriterion:
             focal_alpha=self.tcfg.focal_alpha,
         )
 
-    def _loss_set(self, out, targets, num_boxes, group_detr, suffix="", with_diag=False):
-        matched = self._match(out, targets, group_detr)
+    def _loss_set(self, out, targets, num_boxes, group_detr, suffix="",
+                  with_diag=False, matched=None):
+        if matched is None:
+            matched = self._match(out, targets, group_detr)
         losses = {}
         losses["loss_ce" + suffix] = classification_loss(
             out["pred_logits"], out["pred_boxes"], matched, targets, num_boxes,
@@ -237,14 +239,25 @@ class SetCriterion:
         num_boxes = n_valid if self.tcfg.sum_group_losses else n_valid * group_detr
         num_boxes = jnp.maximum(num_boxes, 1.0)
 
-        losses = self._loss_set(
-            outputs, targets, num_boxes, group_detr, with_diag=True)
-        for i, aux in enumerate(outputs.get("aux_outputs", [])):
-            losses.update(self._loss_set(
-                aux, targets, num_boxes, group_detr, suffix=f"_{i}"))
+        # ONE batched Hungarian solve for every output set (last + aux +
+        # enc): the sets run as parallel vmap lanes, so the sequential
+        # augmenting-path depth is paid once, not once per set
+        sets = [(outputs, "", True)]
+        sets += [(aux, f"_{i}", False)
+                 for i, aux in enumerate(outputs.get("aux_outputs", []))]
         if "enc_outputs" in outputs:
+            sets.append((outputs["enc_outputs"], "_enc", False))
+        logits_s = jnp.stack([s[0]["pred_logits"] for s in sets])
+        boxes_s = jnp.stack([s[0]["pred_boxes"] for s in sets])
+        matched_s = jax.vmap(
+            lambda l, b: self._match({"pred_logits": l, "pred_boxes": b},
+                                     targets, group_detr))(logits_s, boxes_s)
+
+        losses = {}
+        for i, (out, suffix, diag) in enumerate(sets):
             losses.update(self._loss_set(
-                outputs["enc_outputs"], targets, num_boxes, group_detr, suffix="_enc"))
+                out, targets, num_boxes, group_detr, suffix=suffix,
+                with_diag=diag, matched=matched_s[i]))
 
         wd = self.weight_dict()
         total = sum(losses[k] * w for k, w in wd.items() if k in losses)

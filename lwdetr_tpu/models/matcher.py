@@ -26,11 +26,17 @@ from lwdetr_tpu.ops import box_ops
 _INF = jnp.float32(1e15)
 
 
-def solve_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+def solve_assignment(cost: jnp.ndarray,
+                     n_rows: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact rectangular assignment: rows -> distinct cols, min total cost.
 
     Args:
       cost: (T, Q) with T <= Q, float32.
+      n_rows: optional traced scalar — only the first n_rows rows are
+        augmented (the caller's padded rows return junk columns, discarded
+        via the validity mask). Sequential depth on device is proportional
+        to the number of augmented rows, so skipping padded rows is a
+        ~(T/n_real)x training-step win.
     Returns:
       (T,) int32 — column assigned to each row.
 
@@ -92,7 +98,21 @@ def solve_assignment(cost: jnp.ndarray) -> jnp.ndarray:
         _, p = jax.lax.while_loop(backtrack_cond, backtrack_body, (j0, p))
         return u, v, p
 
-    _, _, p = jax.lax.fori_loop(1, T + 1, augment_row, (u0, v0, p0))
+    if n_rows is None:
+        _, _, p = jax.lax.fori_loop(1, T + 1, augment_row, (u0, v0, p0))
+    else:
+        n_stop = jnp.minimum(n_rows.astype(jnp.int32), T) + 1
+
+        def row_cond(st):
+            i, _ = st
+            return i < n_stop
+
+        def row_body(st):
+            i, carry = st
+            return i + 1, augment_row(i, carry)
+
+        _, (_, _, p) = jax.lax.while_loop(
+            row_cond, row_body, (jnp.int32(1), (u0, v0, p0)))
 
     # invert p: row -> col (rows matched to distinct cols; p[0] is scratch)
     row4col = p  # (Q+1,)
@@ -163,7 +183,10 @@ def hungarian_match(
     def per_image_group(lg, bg, tl, tb, tv):
         C = match_cost_matrix(lg, bg, tl, tb, tv,
                               cost_class, cost_bbox, cost_giou, focal_alpha)
-        return solve_assignment(C)
+        # padded rows (constant 0 cost) are skipped: only valid targets are
+        # augmented, cutting the sequential Dijkstra depth from max_gt to
+        # the per-image ground-truth count
+        return solve_assignment(C, n_rows=jnp.sum(tv.astype(jnp.int32)))
 
     # vmap over groups, then batch
     per_image = jax.vmap(per_image_group, in_axes=(0, 0, None, None, None))

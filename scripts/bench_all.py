@@ -1,0 +1,74 @@
+"""Inference throughput across all five release sizes.
+
+Counterpart of the reference's per-size latency table
+(/root/reference/README.md:346-356, measured by deploy/benchmark.py).
+Each size is jitted at square 640 in bf16 and timed batched.
+
+Usage: python scripts/bench_all.py [--sizes tiny small ...] [--batch 32]
+Prints one JSON line per size.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_TRT_MS = {  # reference TensorRT fp16 total latency (README)
+    "tiny": 2.0, "small": 2.9, "medium": 5.6, "large": 8.8, "xlarge": 19.1}
+
+
+def bench_size(size: str, batch: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from lwdetr_tpu.config import get_config
+    from lwdetr_tpu.models.lwdetr import build_model, post_process
+
+    cfg = get_config(size)
+    model = build_model(cfg.model, dtype=jnp.bfloat16)
+    images_np = np.random.default_rng(0).standard_normal(
+        (batch, 640, 640, 3)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 640, 640, 3), jnp.float32), train=True)
+
+    @jax.jit
+    def fwd(variables, images):
+        out = model.apply(variables, images, train=False)
+        sizes = jnp.full((images.shape[0], 2), 640.0)
+        return post_process(out["pred_logits"], out["pred_boxes"], sizes,
+                            num_select=cfg.model.num_select)
+
+    images = jax.device_put(jnp.asarray(images_np))
+    jax.device_get(fwd(variables, images)[0])
+    for _ in range(2):
+        jax.device_get(fwd(variables, images)[0])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(variables, images)
+    jax.device_get(out[0])
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "metric": f"lwdetr_{size}_640_bf16_infer_throughput",
+        "value": round(batch / dt, 2),
+        "unit": "img/s/chip",
+        "batch_ms": round(dt * 1000, 2),
+        "ref_trt_fp16_ms_bs1": BASELINE_TRT_MS[size],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", nargs="+",
+                    default=["tiny", "small", "medium", "large", "xlarge"])
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+    for size in args.sizes:
+        print(json.dumps(bench_size(size, args.batch)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from lwdetr_tpu.ops.deform_attn import ms_deform_attn, sampling_offsets_init_bias
+from lwdetr_tpu.ops.deform_attn import (ms_deform_attn, ms_deform_attn_pallas,
+                                         sampling_offsets_init_bias)
 
 
 def torch_oracle(value, spatial_shapes, sampling_locations, attention_weights):
@@ -134,7 +135,6 @@ def test_pallas_kernel_parity_interpret():
 
 
 def test_pallas_kernel_grad_flows():
-    from lwdetr_tpu.ops.deform_attn import _deform_attn_fused
 
     rng = np.random.default_rng(12)
     shapes = ((16, 16),)
@@ -142,7 +142,7 @@ def test_pallas_kernel_grad_flows():
                                 shapes=shapes, P=2)
 
     def f_fused(v, l, a):
-        return jnp.sum(_deform_attn_fused(v, shapes, l, a, True) ** 2)
+        return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a, interpret=True) ** 2)
 
     def f_ref(v, l, a):
         return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
