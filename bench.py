@@ -40,7 +40,7 @@ def main():
         out = model.apply(variables, images, train=False)
         sizes = jnp.full((images.shape[0], 2), 640.0)
         return post_process(out["pred_logits"], out["pred_boxes"], sizes,
-                            num_select=cfg.model.num_select)
+                            num_select=cfg.model.num_select, approx=True)
 
     images = jax.device_put(jnp.asarray(images_np))
     # warmup (compile + 2 steady); device_get forces real materialization —
