@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from lwdetr_tpu.ops.deform_attn import ms_deform_attn_fast, sampling_offsets_init_bias
+from lwdetr_tpu.ops.deform_attn import (ms_deform_attn_cm, ms_deform_attn_fast,
+                                        sampling_offsets_init_bias)
 from lwdetr_tpu.ops.embeddings import query_sine_embed
 
 
@@ -103,6 +104,28 @@ class MultiheadSelfAttention(nn.Module):
                         kernel_init=nn.initializers.xavier_uniform())(out)
 
 
+class DenseToCM(nn.Module):
+    """Dense layer consuming row-major (B, N, C_in) and emitting CHANNEL-
+    MAJOR (B, C_out, N) — the GEMM writes its MXU output in this orientation
+    without a layout copy. Param names/shapes match nn.Dense (checkpoint
+    bridge unaffected)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        out = jnp.einsum("bnc,cz->bzn", x.astype(self.dtype),
+                         kernel.astype(self.dtype))
+        return out + bias.astype(self.dtype)[:, None]
+
+
 class MSDeformAttnModule(nn.Module):
     """Projection wrapper around the deformable-attention core op
     (reference models/ops/modules/ms_deform_attn.py:96-144)."""
@@ -121,11 +144,21 @@ class MSDeformAttnModule(nn.Module):
         B, Q, C = query.shape
         Len_in = memory.shape[1]
 
-        value = nn.Dense(C, dtype=self.dtype, name="value_proj",
-                         kernel_init=nn.initializers.xavier_uniform())(memory)
-        if padding_mask is not None:
-            value = jnp.where(padding_mask[..., None], 0.0, value)
-        value = value.reshape(B, Len_in, self.n_heads, C // self.n_heads)
+        channel_major = jax.default_backend() == "tpu" and Len_in >= 128
+        if channel_major:
+            # (B, C, Len_in): the GEMM writes channel-major natively; the
+            # sampler and the output projection consume it without transposes.
+            # DenseToCM/DenseCM use the same param names/shapes as nn.Dense,
+            # so the torch<->flax checkpoint bridge holds for either branch.
+            value_t = DenseToCM(C, dtype=self.dtype, name="value_proj")(memory)
+            if padding_mask is not None:
+                value_t = jnp.where(padding_mask[:, None, :], 0.0, value_t)
+        else:
+            value = nn.Dense(C, dtype=self.dtype, name="value_proj",
+                             kernel_init=nn.initializers.xavier_uniform())(memory)
+            if padding_mask is not None:
+                value = jnp.where(padding_mask[..., None], 0.0, value)
+            value = value.reshape(B, Len_in, self.n_heads, C // self.n_heads)
 
         offsets = nn.Dense(
             self.n_heads * self.n_levels * self.n_points * 2,
@@ -158,6 +191,12 @@ class MSDeformAttnModule(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
+        if channel_major:
+            out_t = ms_deform_attn_cm(value_t, spatial_shapes, loc, weights,
+                                      self.n_heads)  # (B, C, Q)
+            from lwdetr_tpu.models.vit import DenseCM
+            return DenseCM(C, dtype=self.dtype, name="output_proj",
+                           kernel_init=nn.initializers.xavier_uniform())(out_t)
         out = ms_deform_attn_fast(value, spatial_shapes, loc, weights)
         return nn.Dense(C, dtype=self.dtype, name="output_proj",
                         kernel_init=nn.initializers.xavier_uniform())(out)

@@ -107,11 +107,12 @@ class DenseCM(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(0.02)
 
     @nn.compact
     def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
         c_in = x_t.shape[1]
-        kernel = self.param("kernel", nn.initializers.truncated_normal(0.02),
+        kernel = self.param("kernel", self.kernel_init,
                             (c_in, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)

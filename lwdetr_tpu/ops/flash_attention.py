@@ -178,6 +178,32 @@ def _attn_cm_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _attn_cm_allheads_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+    # qkv_ref (g, 3C, N); o_ref (g, C, N).  All heads of g images per
+    # program: the qkv DMA is one CONTIGUOUS (3C, N) panel per image
+    # (the per-head (D, N) blocks of the grid-over-heads kernel are 3.2 KB
+    # strided strips at N=100 — DMA-bound at ~140 GB/s).  Heads are static
+    # sublane slices; per-head matmuls batch over g on the MXU.
+    g, ZC, N = qkv_ref.shape
+    C = ZC // 3
+    D = C // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[:, h * D:(h + 1) * D, :]            # (g, D, N)
+        k = qkv_ref[:, C + h * D:C + (h + 1) * D, :]
+        v = qkv_ref[:, 2 * C + h * D:2 * C + (h + 1) * D, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (g, Nq, Nk)
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o_ref[:, h * D:(h + 1) * D, :] = jax.lax.dot_general(
+            v, p, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
     """Attention over channel-major packed qkv (B, 3C, N) -> (B, C, N).
 
@@ -191,6 +217,34 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
     C = ZC // 3
     D = C // num_heads
     H = num_heads
+
+    # SHORT sequences (window attention, N<=128): all heads of g images per
+    # program, whole (3C, N) panels — one contiguous DMA per image instead
+    # of 3H strided (D, N) strips
+    if N <= 128:
+        panel = ZC * N * qkv_t.dtype.itemsize
+        g = max(1, min(16, (4 * 1024 * 1024) // max(panel, 1)))
+        while B % g:
+            g -= 1
+        out = pl.pallas_call(
+            functools.partial(_attn_cm_allheads_kernel, num_heads=H,
+                              scale=scale),
+            grid=(B // g,),
+            in_specs=[pl.BlockSpec((g, ZC, N), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((g, C, N), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, C, N), qkv_t.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * H * N * N * D,
+                bytes_accessed=4 * B * ZC * N * qkv_t.dtype.itemsize,
+                transcendentals=B * H * N * N,
+            ),
+            interpret=interpret,
+        )(qkv_t)
+        return out
 
     # q lane-block: Mosaic pads the ragged tail block internally; K/V
     # panels span the full (unpadded) N so no masking is ever needed.

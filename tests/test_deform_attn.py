@@ -153,3 +153,52 @@ def test_pallas_kernel_grad_flows():
         jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
+
+
+def _to_cm(value):
+    """(B, Len_in, H, D) row-major -> (B, H*D, Len_in) channel-major."""
+    B, Len_in, H, D = value.shape
+    return jnp.asarray(value).transpose(0, 2, 3, 1).reshape(B, H * D, Len_in)
+
+
+def test_cm_kernel_parity_interpret():
+    """Channel-major sampler vs the XLA reference (interpret mode)."""
+    from lwdetr_tpu.ops.deform_attn import ms_deform_attn_cm
+
+    rng = np.random.default_rng(13)
+    shapes = ((16, 16), (8, 8))
+    value, loc, w = make_inputs(rng, B=2, Q=20, n_heads=2, head_dim=16,
+                                shapes=shapes, P=2)
+    out_t = ms_deform_attn_cm(_to_cm(value), shapes, jnp.asarray(loc),
+                              jnp.asarray(w), n_heads=2, interpret=True)
+    ref = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                         jnp.asarray(w))  # (B, Q, C)
+    np.testing.assert_allclose(np.asarray(out_t.transpose(0, 2, 1)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_cm_kernel_grad_flows():
+    from lwdetr_tpu.ops.deform_attn import ms_deform_attn_cm
+
+    rng = np.random.default_rng(14)
+    shapes = ((16, 16),)
+    value, loc, w = make_inputs(rng, B=1, Q=8, n_heads=2, head_dim=16,
+                                shapes=shapes, P=2)
+    value_t = _to_cm(value)
+
+    def f_fused(vt, l, a):
+        return jnp.sum(
+            ms_deform_attn_cm(vt, shapes, l, a, n_heads=2, interpret=True) ** 2)
+
+    def f_ref(vt, l, a):
+        B, C, N = vt.shape
+        v = vt.reshape(B, 2, C // 2, N).transpose(0, 3, 1, 2)
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(
+        value_t, jnp.asarray(loc), jnp.asarray(w))
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(
+        value_t, jnp.asarray(loc), jnp.asarray(w))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3)
