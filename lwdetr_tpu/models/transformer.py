@@ -22,7 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from lwdetr_tpu.ops.deform_attn import (ms_deform_attn_cm, ms_deform_attn_fast,
+from lwdetr_tpu.ops.deform_attn import (_sample_blocks, _sep_vmem_need,
+                                        ms_deform_attn_cm,
+                                        ms_deform_attn_fast,
+                                        ms_deform_attn_sep,
                                         sampling_offsets_init_bias)
 from lwdetr_tpu.ops.embeddings import query_sine_embed
 
@@ -138,13 +141,49 @@ class MSDeformAttnModule(nn.Module):
 
     @nn.compact
     def __call__(self, query, reference_points, memory, spatial_shapes,
-                 padding_mask=None):
+                 padding_mask=None, train: bool = False):
         """query (B, Q, C); reference_points (B, Q, L, 2|4) in [0,1];
         memory (B, Len_in, C); spatial_shapes static [(H, W)]*L."""
         B, Q, C = query.shape
         Len_in = memory.shape[1]
+        D = C // self.n_heads
 
-        channel_major = jax.default_backend() == "tpu" and Len_in >= 128
+        on_tpu = jax.default_backend() == "tpu" and Len_in >= 128
+        # Kernel dispatch (both measured at small@640 on v5e):
+        # * inference: channel-major sparse-matrix sampler — at Q=300 the
+        #   (q, n) one-hot sweep is cheap and the zero-copy value layout
+        #   wins; the separable path pays an unavoidable per-layer value
+        #   relayout that the small Q cannot amortize.
+        # * training (group-DETR Q = num_queries*groups, e.g. 3904): the
+        #   (q, n) sweep scales with Q in forward AND both backward kernels,
+        #   while the separable factorization's value prep is Q-independent
+        #   — sep wins there. Gated on unroll size (heads*levels*points
+        #   static loop) and on the value panels fitting VMEM.
+        use_sep = (on_tpu and train
+                   and self.n_heads * self.n_levels * self.n_points <= 64)
+        if use_sep:
+            vmem = _sep_vmem_need(tuple(spatial_shapes), self.n_heads, D, 128,
+                                  self.n_levels * self.n_points * 2)
+            use_sep = vmem <= 8 * 1024 * 1024
+        channel_major = on_tpu and not use_sep
+
+        # pad queries to the kernel q-block at the SOURCE: a wide-lane
+        # (B, Q, C) pad is ~free, while padding the narrow per-point
+        # index/weight arrays downstream costs ~0.65 ms/layer of strided DMA
+        Q0 = Q
+        if use_sep:
+            q_blk = min(128, -(-Q // 8) * 8)
+            q_pad = -(-Q // q_blk) * q_blk
+        elif channel_major:
+            q_pad = _sample_blocks(Q, Len_in)[1]
+        else:
+            q_pad = Q
+        if q_pad != Q:
+            query = jnp.pad(query, [(0, 0), (0, q_pad - Q), (0, 0)])
+            rp_pad = [(0, 0), (0, q_pad - Q)] + [(0, 0)] * (reference_points.ndim - 2)
+            reference_points = jnp.pad(reference_points, rp_pad)
+            Q = q_pad
+
         if channel_major:
             # (B, C, Len_in): the GEMM writes channel-major natively; the
             # sampler and the output projection consume it without transposes.
@@ -195,11 +234,16 @@ class MSDeformAttnModule(nn.Module):
             out_t = ms_deform_attn_cm(value_t, spatial_shapes, loc, weights,
                                       self.n_heads)  # (B, C, Q)
             from lwdetr_tpu.models.vit import DenseCM
-            return DenseCM(C, dtype=self.dtype, name="output_proj",
-                           kernel_init=nn.initializers.xavier_uniform())(out_t)
-        out = ms_deform_attn_fast(value, spatial_shapes, loc, weights)
-        return nn.Dense(C, dtype=self.dtype, name="output_proj",
-                        kernel_init=nn.initializers.xavier_uniform())(out)
+            out = DenseCM(C, dtype=self.dtype, name="output_proj",
+                          kernel_init=nn.initializers.xavier_uniform())(out_t)
+        else:
+            if use_sep:
+                out = ms_deform_attn_sep(value, spatial_shapes, loc, weights)
+            else:
+                out = ms_deform_attn_fast(value, spatial_shapes, loc, weights)
+            out = nn.Dense(C, dtype=self.dtype, name="output_proj",
+                           kernel_init=nn.initializers.xavier_uniform())(out)
+        return out[:, :Q0] if Q != Q0 else out
 
 
 class DecoderLayer(nn.Module):
@@ -248,7 +292,8 @@ class DecoderLayer(nn.Module):
         tgt2 = MSDeformAttnModule(
             self.d_model, self.n_levels, self.ca_nheads, self.n_points,
             dtype=self.dtype, name="cross_attn",
-        )(tgt + query_pos, reference_points, memory, spatial_shapes, padding_mask)
+        )(tgt + query_pos, reference_points, memory, spatial_shapes,
+          padding_mask, train=train)
         if not det:
             tgt2 = _dropout(tgt2, dropout_rate, det, self.make_rng("dropout"))
         tgt = tgt + tgt2

@@ -110,6 +110,16 @@ def get_args_parser():
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--max_gt", default=100, type=int)
     p.add_argument("--dont_bench", action="store_true")
+    # accepted-for-compatibility flags (reference main.py:146-168): process
+    # placement and comm backend are managed by jax.distributed on TPU, so
+    # these parse but have no effect
+    p.add_argument("--device", default="tpu", type=str,
+                   help="compat no-op (reference: cuda device selection)")
+    p.add_argument("--world_size", default=1, type=int,
+                   help="compat no-op (process count comes from the TPU "
+                        "runtime / jax.distributed)")
+    p.add_argument("--dist_url", default="env://", type=str,
+                   help="compat no-op (no rendezvous needed on TPU)")
     # subcommands
     sub = p.add_subparsers(title="sub-commands", dest="subcommand")
     pe = sub.add_parser("export_model", help="AOT-compile and serialize")
