@@ -46,7 +46,9 @@ def main():
     state = create_train_state(model, tx, rng, sample, use_ema=True)
     step = build_train_step(model, criterion, tx, ema_decay=0.9997,
                             use_ema=True,
-                            vit_depth=cfg.model.vit_encoder_num_layers)
+                            vit_depth=cfg.model.vit_encoder_num_layers,
+                            static_zero_drop_path=cfg.model.drop_path == 0,
+                            static_zero_dropout=cfg.model.dropout == 0)
 
     B, T = args.batch, args.max_gt
     rngd = np.random.default_rng(0)

@@ -31,8 +31,12 @@ from lwdetr_tpu.ops.embeddings import query_sine_embed
 
 
 def _dropout(x, rate, deterministic: bool, rng):
-    """Dropout with a (possibly traced) rate."""
-    if deterministic:
+    """Dropout with a (possibly traced) rate.
+
+    A CONCRETE rate of 0.0 (all release configs) skips mask generation
+    entirely — a traced zero still emits threefry+bernoulli over the full
+    activation, ~25 ms/step at small@640 batch 8."""
+    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape).astype(x.dtype)

@@ -47,8 +47,9 @@ def get_abs_pos(pos_embed: jnp.ndarray, has_cls_token: bool, hw: Tuple[int, int]
 
 
 def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> jnp.ndarray:
-    """Per-sample stochastic depth; `rate` may be a traced scalar."""
-    if deterministic:
+    """Per-sample stochastic depth; `rate` may be a traced scalar.
+    A CONCRETE rate of 0.0 skips mask generation (no RNG in the graph)."""
+    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -246,7 +247,8 @@ class ViT(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B * 16, h * w, C)
 
         if drop_path_rates is None:
-            drop_path_rates = jnp.zeros((self.depth,), dtype=jnp.float32)
+            # concrete zeros: blocks skip stochastic depth at trace time
+            drop_path_rates = [0.0] * self.depth
 
         outs = []
         for i, blk in enumerate(self.blocks):

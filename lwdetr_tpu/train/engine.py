@@ -53,11 +53,22 @@ def create_train_state(model: LWDETR, tx, rng, sample_images, use_ema: bool):
 
 def build_train_step(model: LWDETR, criterion: SetCriterion, tx,
                      ema_decay: float, use_ema: bool, vit_depth: int,
-                     donate: bool = True):
-    """Returns jitted train_step(state, batch, rng, drop_path_rate, dropout_rate)."""
+                     donate: bool = True,
+                     static_zero_drop_path: bool = False,
+                     static_zero_dropout: bool = False):
+    """Returns jitted train_step(state, batch, rng, drop_path_rate, dropout_rate).
+
+    static_zero_drop_path / static_zero_dropout: set when the whole schedule
+    is identically zero (all release configs for dropout; tiny/small/medium
+    for drop-path) — the rates become trace-time constants and NO mask RNG
+    enters the graph. A traced zero still generates threefry+bernoulli over
+    every activation (~25 ms/step at small@640 batch 8)."""
 
     def loss_fn(params, batch_stats, batch, rng, drop_path_rate, dropout_rate):
-        dp_rates = drop_path_rates_for(drop_path_rate, vit_depth)
+        dp_rates = (None if static_zero_drop_path
+                    else drop_path_rates_for(drop_path_rate, vit_depth))
+        if static_zero_dropout:
+            dropout_rate = 0.0
         out, new_vars = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"],

@@ -315,7 +315,9 @@ def main(args):
 
     train_step = build_train_step(
         model, criterion, tx, ema_decay=tcfg.ema_decay, use_ema=tcfg.use_ema,
-        vit_depth=mcfg.vit_encoder_num_layers)
+        vit_depth=mcfg.vit_encoder_num_layers,
+        static_zero_drop_path=bool(np.all(dp_sched == 0)),
+        static_zero_dropout=bool(np.all(do_sched == 0)))
 
     best = BestMetricHolder(use_ema=tcfg.use_ema)
     start = time.time()

@@ -75,5 +75,59 @@ def dump_top_ops(n=40):
         print("wrote /tmp/op_stats.json")
 
 
+
+
+def main_train():
+    """Trace the full train step (forward+matcher+loss+backward+optimizer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lwdetr_tpu.config import get_config
+    from lwdetr_tpu.models.criterion import SetCriterion
+    from lwdetr_tpu.models.lwdetr import build_model
+    from lwdetr_tpu.train.engine import build_train_step, create_train_state
+    from lwdetr_tpu.train.optim import build_optimizer
+
+    cfg = get_config(os.environ.get("PROF_SIZE", "small"))
+    batch_size = int(os.environ.get("PROF_BATCH", 8))
+    model = build_model(cfg.model, dtype=jnp.bfloat16)
+    criterion = SetCriterion(cfg.model, cfg.train)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    init = model.init({"params": rng, "dropout": rng}, sample, train=True)
+    tx = build_optimizer(init["params"], cfg.model, cfg.train, 1000)
+    state = create_train_state(model, tx, rng, sample, use_ema=True)
+    step = build_train_step(model, criterion, tx, ema_decay=0.9997,
+                            use_ema=True,
+                            vit_depth=cfg.model.vit_encoder_num_layers,
+                            donate=False,
+                            static_zero_drop_path=cfg.model.drop_path == 0,
+                            static_zero_dropout=cfg.model.dropout == 0)
+    B, T = batch_size, 100
+    rngd = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rngd.standard_normal((B, 640, 640, 3)),
+                              jnp.float32),
+        "labels": jnp.asarray(rngd.integers(0, cfg.model.num_classes, (B, T)),
+                              jnp.int32),
+        "boxes": jnp.asarray(rngd.uniform(0.2, 0.6, (B, T, 4)), jnp.float32),
+        "valid": jnp.asarray(np.tile(np.arange(T) < 7, (B, 1))),
+    }
+    args = (state, batch, jax.random.PRNGKey(1), jnp.float32(0.05),
+            jnp.float32(0.0))
+    jax.device_get(step(*args)[1]["loss"])
+    jax.device_get(step(*args)[1]["loss"])
+    os.system(f"rm -rf {TRACE_DIR}")
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(5):
+            out = step(*args)
+        jax.device_get(out[1]["loss"])
+    print("train trace captured")
+    dump_top_ops()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        main_train()
+    else:
+        main()
