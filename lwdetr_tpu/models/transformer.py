@@ -272,21 +272,20 @@ class DecoderLayer(nn.Module):
         q = k = tgt + query_pos
         v = tgt
         if train and self.group_detr > 1:
-            # fold groups into batch so groups don't attend across
+            # fold groups into batch so groups don't attend across. BATCH-
+            # major (B*g, Qg, C) — a pure reshape, queries are already
+            # ordered groups-within-batch. (The reference's chunk+cat to
+            # group-major (g*B, ...) at transformer.py:486-495 is an
+            # arbitrary ordering choice; attention math is per-slice either
+            # way, and the transpose costs ~20 ms/step fwd+bwd on TPU.)
             def split(x):
-                Qg = Q // self.group_detr
-                return (x.reshape(B, self.group_detr, Qg, C)
-                        .transpose(1, 0, 2, 3)
-                        .reshape(self.group_detr * B, Qg, C))
+                return x.reshape(B * self.group_detr, Q // self.group_detr, C)
             q, k, v = split(q), split(k), split(v)
 
         tgt2 = MultiheadSelfAttention(self.d_model, self.sa_nheads, dtype=self.dtype,
                                       name="self_attn")(q, k, v, dropout_rate, det)
         if train and self.group_detr > 1:
-            Qg = Q // self.group_detr
-            tgt2 = (tgt2.reshape(self.group_detr, B, Qg, C)
-                    .transpose(1, 0, 2, 3)
-                    .reshape(B, Q, C))
+            tgt2 = tgt2.reshape(B, Q, C)
 
         if not det:
             tgt2 = _dropout(tgt2, dropout_rate, det, self.make_rng("dropout"))

@@ -315,8 +315,138 @@ def _attn_cm_fwd(qkv_t, num_heads, scale, interpret):
     return _attn_cm_impl(qkv_t, num_heads, scale, interpret), (qkv_t,)
 
 
+def _attn_cm_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                        dk_acc, dv_acc, *, scale: float, n_q: int,
+                        kv_len: int):
+    """Channel-major attention backward: recomputes the softmax tile in VMEM
+    (the XLA backward materializes the (B, H, N, N) score tensor in HBM
+    twice). q/do blocks (g, D, blk_q); k/v panels (g, D, N_pad)."""
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    g_, _, blk_q = q.shape
+    n_pad = k.shape[2]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (g, blk_q, N_pad)
+    s = s * scale
+    if n_pad != kv_len:  # padded keys never win the softmax
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (g, blk_q, N_pad)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (g, blk_q, N_pad)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row) * scale  # (g, blk_q, N_pad)
+    if n_pad != kv_len:
+        # padded QUERY rows must not contribute to dk/dv
+        qrow = qi * blk_q + jax.lax.broadcasted_iota(
+            jnp.int32, (g_, blk_q, 1), 1)
+        live = qrow < kv_len
+        ds = jnp.where(live, ds, 0.0)
+        p = jnp.where(live, p, 0.0)
+    ds = ds.astype(q.dtype)
+
+    dq_ref[...] = jax.lax.dot_general(
+        k, ds, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)  # (g, D, blk_q)
+    dk_acc[...] += jax.lax.dot_general(
+        q, ds, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (g, D, N)
+    dv_acc[...] += jax.lax.dot_general(
+        do, p.astype(do.dtype), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (g, D, N)
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _attn_cm_bwd_pallas(qkv_t, dout_t, num_heads, scale, interpret):
+    """(B, 3C, N), (B, C, N) -> d(qkv_t) (B, 3C, N)."""
+    B, ZC, N = qkv_t.shape
+    C = ZC // 3
+    D = C // num_heads
+    H = num_heads
+
+    blk_q = min(_round_up(N, 128), 128)
+    n_pad = _round_up(N, blk_q)
+    n_q = n_pad // blk_q
+
+    # VMEM: 3 (g, blk_q, N) f32 tiles + 4 bf16 panels + 2 f32 scratches
+    budget = 11 * 1024 * 1024
+    per_slice = 3 * blk_q * n_pad * 4 + 4 * D * n_pad * 2 + 2 * D * n_pad * 4
+    g = max(1, min(8, budget // max(per_slice, 1)))
+    while B % g:
+        g -= 1
+    if g * per_slice > 13 * 1024 * 1024:
+        return None
+
+    N_orig = N
+    if n_pad != N:
+        qkv_t = jnp.pad(qkv_t, [(0, 0), (0, 0), (0, n_pad - N)])
+        dout_t = jnp.pad(dout_t, [(0, 0), (0, 0), (0, n_pad - N)])
+        N = n_pad
+
+    grid = (B // g, H, n_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_cm_bwd_kernel, scale=scale, n_q=n_q,
+                          kv_len=N_orig),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, D, blk_q), lambda b, h, qi: (b, h, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, N), lambda b, h, qi: (b, H + h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, N), lambda b, h, qi: (b, 2 * H + h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, blk_q), lambda b, h, qi: (b, h, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, D, blk_q), lambda b, h, qi: (b, h, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, N), lambda b, h, qi: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, D, N), lambda b, h, qi: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, C, N), qkv_t.dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM((g, D, N), jnp.float32),
+                        pltpu.VMEM((g, D, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * N * N * D,
+            bytes_accessed=8 * B * H * N * D * qkv_t.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_t, qkv_t, qkv_t, dout_t)
+    out = jnp.concatenate([dq, dk, dv], axis=1)
+    return out[:, :, :N_orig] if N != N_orig else out
+
+
 def _attn_cm_bwd(num_heads, scale, interpret, res, g):
     (qkv_t,) = res
+    B, ZC, N = qkv_t.shape
+    if interpret or (N >= 512 and jax.default_backend() == "tpu"):
+        out = _attn_cm_bwd_pallas(qkv_t, g, num_heads, scale, interpret)
+        if out is not None:
+            return (out,)
     _, vjp = jax.vjp(lambda t: _xla_sdpa_cm(t, num_heads, scale), qkv_t)
     return vjp(g)
 

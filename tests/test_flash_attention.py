@@ -99,3 +99,29 @@ def test_fused_layer_norm_parity():
     got2 = layer_norm(x2, s, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got2),
                                np.asarray(_ln_ref(x2, s, b, 1e-6)), atol=1e-5)
+
+
+def test_attention_cm_bwd_pallas_parity():
+    """Pallas channel-major attention backward (long N path, interpret) vs
+    the XLA SDPA backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lwdetr_tpu.ops import flash_attention as fa
+
+    B, N, H, D = 2, 256, 4, 16  # N % 128 == 0 -> pallas backward path
+    C = H * D
+    rng = np.random.default_rng(21)
+    qkv_t = jnp.asarray(rng.standard_normal((B, 3 * C, N)), jnp.float32)
+    scale = D ** -0.5
+
+    def loss_pallas(t):
+        return jnp.sum(fa.attention_cm(t, H, scale, interpret=True) ** 2)
+
+    def loss_ref(t):
+        return jnp.sum(fa._xla_sdpa_cm(t, H, scale) ** 2)
+
+    g1 = jax.grad(loss_pallas)(qkv_t)
+    g2 = jax.grad(loss_ref)(qkv_t)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3,
+                               rtol=2e-3)
