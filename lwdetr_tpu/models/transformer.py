@@ -92,6 +92,33 @@ class MultiheadSelfAttention(nn.Module):
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * C,), jnp.float32)
         ik = in_kernel.astype(self.dtype)
         ib = in_bias.astype(self.dtype)
+
+        no_drop = deterministic or (
+            isinstance(dropout_rate, (int, float)) and dropout_rate == 0.0)
+        if (jax.default_backend() == "tpu" and no_drop
+                and q.shape[1] == k.shape[1]):
+            # channel-major sandwich into the fused Pallas attention (see
+            # ops/flash_attention.attention_cm): the in-projections write
+            # (B, *, N) natively and out_proj reads (B, C, N) natively.
+            # Attention-weight dropout (rate>0) needs the einsum path.
+            from lwdetr_tpu.ops.flash_attention import attention_cm
+
+            if q is k:
+                qk_t = jnp.einsum("bnc,cz->bzn", q, ik[:, :2 * C])
+                qk_t = qk_t + ib[:2 * C, None]
+            else:
+                qp_t = jnp.einsum("bnc,cz->bzn", q, ik[:, :C]) + ib[:C, None]
+                kp_t = (jnp.einsum("bnc,cz->bzn", k, ik[:, C:2 * C])
+                        + ib[C:2 * C, None])
+                qk_t = jnp.concatenate([qp_t, kp_t], axis=1)
+            vp_t = (jnp.einsum("bnc,cz->bzn", v, ik[:, 2 * C:])
+                    + ib[2 * C:, None])
+            qkv_t = jnp.concatenate([qk_t, vp_t], axis=1)  # (B, 3C, N)
+            out_t = attention_cm(qkv_t, self.num_heads, scale=head_dim**-0.5)
+            from lwdetr_tpu.models.vit import DenseCM
+            return DenseCM(C, dtype=self.dtype, name="out_proj",
+                           kernel_init=nn.initializers.xavier_uniform())(out_t)
+
         qp = q @ ik[:, :C] + ib[:C]
         kp = k @ ik[:, C:2 * C] + ib[C:2 * C]
         vp = v @ ik[:, 2 * C:] + ib[2 * C:]

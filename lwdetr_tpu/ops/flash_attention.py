@@ -443,7 +443,7 @@ def _attn_cm_bwd_pallas(qkv_t, dout_t, num_heads, scale, interpret):
 def _attn_cm_bwd(num_heads, scale, interpret, res, g):
     (qkv_t,) = res
     B, ZC, N = qkv_t.shape
-    if interpret or (N >= 512 and jax.default_backend() == "tpu"):
+    if interpret or (N >= 256 and jax.default_backend() == "tpu"):
         out = _attn_cm_bwd_pallas(qkv_t, g, num_heads, scale, interpret)
         if out is not None:
             return (out,)
