@@ -103,17 +103,29 @@ def build_train_step(model: LWDETR, criterion: SetCriterion, tx,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def build_eval_step(model: LWDETR, num_select: int):
+def build_eval_step(model: LWDETR, num_select: int,
+                    criterion: Optional[SetCriterion] = None):
     """Returns jitted eval_step(params, batch_stats, batch) ->
-    (scores, labels, boxes_xyxy_abs) at original image scale."""
+    ((scores, labels, boxes_xyxy_abs), losses) at original image scale.
+
+    With `criterion`, eval losses are computed on the same forward (the
+    reference logs loss components during evaluate, engine.py:128); losses
+    is {} otherwise."""
 
     def eval_step(params, batch_stats, batch):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], masks=batch.get("pad_mask"), train=False)
-        return post_process(
+        losses = {}
+        if criterion is not None:
+            targets = Targets(batch["labels"], batch["boxes"], batch["valid"])
+            total, losses = criterion(out, targets, train=False)
+            losses = dict(losses)
+            losses["loss"] = total
+        dets = post_process(
             out["pred_logits"], out["pred_boxes"], batch["orig_size"],
             num_select=num_select)
+        return dets, losses
 
     return jax.jit(eval_step)
 
@@ -123,10 +135,35 @@ def train_one_epoch(
     drop_path_sched: Optional[np.ndarray], dropout_sched: Optional[np.ndarray],
     niter_per_ep: int, put_fn=None, log_every: int = 50, logger=print,
 ):
-    """Python-side epoch loop (reference engine.py:26-90)."""
+    """Python-side epoch loop (reference engine.py:26-90).
+
+    Every step's loss is checked for finiteness (reference aborts on the
+    exact step, engine.py:71-74).  To keep the device pipeline full, step
+    N's metrics are fetched AFTER step N+1 has been dispatched — by then
+    they are ready, so the host never stalls the device; a NaN aborts one
+    step late, which is already past the reference's guarantee (the
+    poisoned optimizer update has been applied either way).
+    """
+    from lwdetr_tpu.utils.logging import MetricLogger
+
     t0 = time.time()
-    meters: Dict[str, float] = {}
-    n = 0
+    mlog = MetricLogger()
+    pending = None  # (iteration, unfetched device metrics)
+
+    def consume(it, dev_metrics):
+        metrics = jax.device_get(dev_metrics)
+        loss = float(metrics["loss"])
+        if not math.isfinite(loss):
+            logger(f"Loss is {loss}, stopping training (reference "
+                   f"engine.py:71-74). Components: "
+                   f"{ {k: float(v) for k, v in metrics.items()} }")
+            raise FloatingPointError(f"Loss is {loss} at epoch {epoch} it {it}")
+        mlog.update(**{k: float(v) for k, v in metrics.items()})
+        if it % log_every == 0:
+            logger(f"epoch {epoch} it {it}/{niter_per_ep} "
+                   f"loss {loss:.4f} grad_norm {float(metrics['grad_norm']):.2f} "
+                   f"({(time.time()-t0)/max(it+1,1):.2f}s/it)")
+
     for it, batch in enumerate(loader):
         gstep = epoch * niter_per_ep + it
         dp = float(drop_path_sched[min(gstep, len(drop_path_sched) - 1)]) \
@@ -138,32 +175,36 @@ def train_one_epoch(
         step_rng = jax.random.fold_in(rng, gstep)
         state, metrics = train_step(
             state, batch, step_rng, jnp.float32(dp), jnp.float32(do))
-        n += 1
-        if it % log_every == 0:
-            metrics = jax.device_get(metrics)
-            loss = float(metrics["loss"])
-            if not math.isfinite(loss):
-                raise FloatingPointError(
-                    f"Loss is {loss}, stopping training (reference engine.py:71-74)")
-            for k, v in metrics.items():
-                meters[k] = float(v)
-            logger(f"epoch {epoch} it {it}/{niter_per_ep} "
-                   f"loss {loss:.4f} grad_norm {float(metrics['grad_norm']):.2f} "
-                   f"({(time.time()-t0)/max(it+1,1):.2f}s/it)")
+        if pending is not None:
+            consume(*pending)
+        pending = (it, metrics)
+    if pending is not None:
+        consume(*pending)
+
+    mlog.synchronize_between_processes()
+    meters = {k: m.global_avg for k, m in mlog.meters.items()}
     meters["epoch_time"] = time.time() - t0
     return state, meters
 
 
 def evaluate(eval_step, params, batch_stats, loader, evaluator, put_fn=None,
-             logger=print):
+             logger=print, merge_hosts: bool = True):
     """Eval loop: forward + postprocess on device, COCO accumulation on host
-    (reference engine.py:93-164)."""
+    (reference engine.py:93-164).  When the eval_step was built with a
+    criterion, loss components are metered and returned alongside the 12
+    AP/AR stats.  Multi-host runs merge detections across processes before
+    summarizing (reference coco_eval.py:181-200) unless merge_hosts=False."""
+    from lwdetr_tpu.utils.logging import MetricLogger
+
     t0 = time.time()
     seen = set()
+    mlog = MetricLogger()
     for batch in loader:
         dev_batch = put_fn(batch) if put_fn is not None else batch
-        scores, labels, boxes = jax.device_get(
+        (scores, labels, boxes), losses = jax.device_get(
             eval_step(params, batch_stats, dev_batch))
+        if losses:
+            mlog.update(**{k: float(v) for k, v in losses.items()})
         results = {}
         for i, img_id in enumerate(batch["image_id"].tolist()):
             if img_id in seen:
@@ -173,5 +214,11 @@ def evaluate(eval_step, params, batch_stats, loader, evaluator, put_fn=None,
                 "scores": scores[i], "labels": labels[i], "boxes": boxes[i]}
         evaluator.update(results)
     logger(f"eval forward done in {time.time()-t0:.1f}s ({len(seen)} images)")
-    stats = evaluator.summarize()
+    if merge_hosts:
+        from lwdetr_tpu.parallel.dist import merge_evaluators
+
+        evaluator = merge_evaluators(evaluator)
+    mlog.synchronize_between_processes()
+    stats = {k: m.global_avg for k, m in mlog.meters.items()}
+    stats.update(evaluator.summarize())
     return stats

@@ -143,6 +143,11 @@ def config_from_args(args):
             coco_path=args.coco_path or "",
             dataset_file=args.dataset_file,
             num_workers=args.num_workers))
+        # presets encode COCO's 91 classes; o365 pretraining needs the
+        # 366-way head (reference datasets/__init__.py num_classes dispatch)
+        if args.dataset_file == "o365":
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, num_classes=366))
         return cfg
 
     num_classes = 91 if args.dataset_file == "coco" else (
@@ -275,11 +280,20 @@ def main(args):
         state = state._replace(ema=jax.tree.map(
             jnp.copy, {"params": state.params, "batch_stats": state.batch_stats}))
     if args.resume:
-        restored, step = ckpt.restore_checkpoint(args.resume, state)
-        if restored is not None:
-            state = restored
-            args.start_epoch = int(np.asarray(state.step)) // max(niter_per_ep, 1)
-            print(f"resumed from {args.resume} at step {int(np.asarray(state.step))}")
+        if args.resume.endswith(".pth"):
+            # reference main.py:270-278: strict model load from a torch
+            # checkpoint (+ EMA weights when present). Optimizer/scheduler
+            # state is torch-specific and not bridged; epoch resumes.
+            state, start_epoch = _resume_pth(state, args.resume, mcfg, ckpt,
+                                             use_ema=tcfg.use_ema)
+            if start_epoch is not None and not args.eval:
+                args.start_epoch = start_epoch
+        else:
+            restored, step = ckpt.restore_checkpoint(args.resume, state)
+            if restored is not None:
+                state = restored
+                args.start_epoch = int(np.asarray(state.step)) // max(niter_per_ep, 1)
+                print(f"resumed from {args.resume} at step {int(np.asarray(state.step))}")
 
     state = jax.device_put(state, replicated(mesh))
 
@@ -291,7 +305,8 @@ def main(args):
     # bf16 is the TPU-native half type — same MXU speedup, wider exponent
     eval_model = (build_model(mcfg, dtype=jnp.bfloat16)
                   if (args.fp16_eval and not args.bf16) else model)
-    eval_step = build_eval_step(eval_model, mcfg.num_select)
+    eval_step = build_eval_step(eval_model, mcfg.num_select,
+                                criterion=criterion)
     put = lambda b: shard_batch(mesh, b)
 
     def run_eval(params, batch_stats):
@@ -330,6 +345,13 @@ def main(args):
         if args.output_dir and is_main_process():
             ckpt.save_checkpoint(
                 os.path.join(args.output_dir, "ckpt"), epoch, state)
+            # durable extra checkpoint before the LR drop and every
+            # checkpoint_interval epochs (reference main.py:327-344)
+            if ((epoch + 1) % tcfg.lr_drop == 0
+                    or (epoch + 1) % args.checkpoint_interval == 0):
+                ckpt.save_checkpoint(
+                    os.path.join(args.output_dir, "ckpt_epochs"), epoch,
+                    state, keep=None)
 
         stats = run_eval(state.params, state.batch_stats)
         record = {"epoch": epoch,
@@ -337,11 +359,21 @@ def main(args):
                   **{f"test_{k}": v for k, v in stats.items()}}
         map_regular = stats["AP"]
         if best.update(map_regular, epoch):
-            record["best_regular"] = map_regular
+            # best-regular checkpoint on AP improvement (ref main.py:350-360)
+            if args.output_dir and is_main_process():
+                ckpt.save_checkpoint(
+                    os.path.join(args.output_dir, "ckpt_best_regular"),
+                    epoch, state, keep=1)
         if tcfg.use_ema:
             stats_ema = run_eval(state.ema["params"], state.ema["batch_stats"])
             record.update({f"ema_test_{k}": v for k, v in stats_ema.items()})
-            best.update(stats_ema["AP"], epoch, is_ema=True)
+            if best.update(stats_ema["AP"], epoch, is_ema=True):
+                # best-EMA checkpoint (ref main.py:370-380)
+                if args.output_dir and is_main_process():
+                    ckpt.save_checkpoint(
+                        os.path.join(args.output_dir, "ckpt_best_ema"),
+                        epoch, state, keep=1)
+        record.update(best.summary())
         write_log_line(args.output_dir, record)
 
     total = time.time() - start
@@ -373,6 +405,41 @@ def _load_pretrain(state, args, mcfg, ckpt_mod):
     bs = _merge(state.batch_stats, variables.get("batch_stats", {}))
     print(f"loaded pretrain weights from {args.pretrain_weights}")
     return state._replace(params=params, batch_stats=bs)
+
+
+def _resume_pth(state, path, mcfg, ckpt_mod, use_ema: bool):
+    """--resume of a reference torch checkpoint (reference main.py:270-286):
+    strict model load, EMA from 'ema_model' if present (else re-seeded from
+    the model weights), epoch from the ckpt.  torch optimizer/lr_scheduler
+    state has no optax counterpart and is not restored."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    variables = ckpt_mod.load_pth(path, mcfg, key="model")
+    state = state._replace(
+        params=_merge(state.params, variables.get("params", {})),
+        batch_stats=_merge(state.batch_stats, variables.get("batch_stats", {})))
+    if use_ema:
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(raw, dict) and "ema_model" in raw:
+            ema_sd = ckpt_mod.clean_state_dict(
+                {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                 for k, v in raw["ema_model"].items()})
+            ema_vars = ckpt_mod.torch_to_flax(ema_sd, mcfg, strict=False)
+            ema = {"params": _merge(state.params, ema_vars.get("params", {})),
+                   "batch_stats": _merge(state.batch_stats,
+                                         ema_vars.get("batch_stats", {}))}
+        else:
+            ema = {"params": state.params, "batch_stats": state.batch_stats}
+        state = state._replace(ema=jax.tree.map(jnp.copy, ema))
+    start_epoch = None
+    if isinstance(raw, dict) and "epoch" in raw:
+        start_epoch = int(raw["epoch"]) + 1
+    print(f"resumed model weights from {path}"
+          + (f" (epoch {start_epoch - 1})" if start_epoch else ""))
+    return state, start_epoch
 
 
 def _merge(base, overlay):
