@@ -84,6 +84,24 @@ class Backbone(nn.Module):
         return self.projector(feats, train=train)
 
 
+class LearnedPositionEncoding(nn.Module):
+    """Learned 50x50 row/col position embedding
+    (reference models/position_encoding.py:98-128: nn.Embedding(50, C) pairs
+    with uniform init; output channels ordered [col(x), row(y)])."""
+
+    num_pos_feats: int
+
+    @nn.compact
+    def __call__(self, h: int, w: int):
+        row = self.param("row_embed", nn.initializers.uniform(1.0),
+                         (50, self.num_pos_feats), jnp.float32)
+        col = self.param("col_embed", nn.initializers.uniform(1.0),
+                         (50, self.num_pos_feats), jnp.float32)
+        grid_x = jnp.broadcast_to(col[None, :w, :], (h, w, self.num_pos_feats))
+        grid_y = jnp.broadcast_to(row[:h, None, :], (h, w, self.num_pos_feats))
+        return jnp.concatenate([grid_x, grid_y], axis=-1)  # (h, w, 2C)
+
+
 class LWDETR(nn.Module):
     """Group-DETR-v3 detector (reference models/lwdetr.py:36-215)."""
 
@@ -125,6 +143,9 @@ class LWDETR(nn.Module):
         self.query_feat = self.param(
             "query_feat", nn.initializers.normal(1.0),
             (cfg.num_queries * cfg.group_detr, cfg.hidden_dim), jnp.float32)
+        if cfg.position_embedding == "learned":
+            self.pos_embedding = LearnedPositionEncoding(
+                cfg.hidden_dim // 2, name="pos_embedding")
 
     def __call__(self, images, masks=None, drop_path_rates=None,
                  dropout_rate=0.0, train: bool = False):
@@ -140,13 +161,20 @@ class LWDETR(nn.Module):
         if masks is not None:
             feat_masks = [_interpolate_mask(masks, f.shape[1:3]) for f in feats]
 
+        # Per-level position embeddings (the reference Joiner's second half,
+        # backbone/__init__.py:16-23). The decoder never consumes them
+        # (transformer.py:466-517), so XLA dead-code-eliminates this compute
+        # under jit — kept for exact module/parameter surface parity.
+        pos_embeds = [self._pos_embed(f, m) for f, m in zip(
+            feats, feat_masks if feat_masks is not None else [None] * len(feats))]
+
         group_detr = cfg.group_detr if train else 1
         nq = cfg.num_queries * group_detr
         refpoint_w = self.refpoint_embed[:nq]
         query_w = self.query_feat[:nq]
 
         hs, ref, hs_enc, ref_enc = self.transformer(
-            feats, feat_masks, None, refpoint_w, query_w,
+            feats, feat_masks, pos_embeds, refpoint_w, query_w,
             bbox_embed=None if cfg.lite_refpoint_refine else self.bbox_embed,
             dropout_rate=dropout_rate, train=train)
 
@@ -177,6 +205,19 @@ class LWDETR(nn.Module):
                 "pred_boxes": ref_enc,
             }
         return out
+
+    def _pos_embed(self, feat, feat_mask):
+        """One level's position embedding (B, H, W, hidden_dim)."""
+        from lwdetr_tpu.ops.embeddings import sine_position_embedding
+
+        B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
+        if self.cfg.position_embedding == "learned":
+            grid = self.pos_embedding(H, W)
+            return jnp.broadcast_to(grid[None], (B,) + grid.shape)
+        mask = feat_mask if feat_mask is not None \
+            else jnp.zeros((B, H, W), bool)
+        return sine_position_embedding(
+            mask, num_pos_feats=self.cfg.hidden_dim // 2)
 
 
 def _interpolate_mask(masks: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:

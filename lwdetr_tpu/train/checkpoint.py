@@ -91,6 +91,13 @@ def build_mapping(cfg: ModelConfig) -> List[Entry]:
     m += _mlp_head("bbox_embed", ("bbox_embed",))
     m.append(("refpoint_embed.weight", "params", ("refpoint_embed",), "raw"))
     m.append(("query_feat.weight", "params", ("query_feat",), "raw"))
+    if cfg.position_embedding == "learned":
+        # Joiner index 1 is the position encoding
+        # (reference models/backbone/__init__.py:11-23, position_encoding.py:98-128)
+        m.append(("backbone.1.row_embed.weight", "params",
+                  ("pos_embedding", "row_embed"), "raw"))
+        m.append(("backbone.1.col_embed.weight", "params",
+                  ("pos_embedding", "col_embed"), "raw"))
 
     # ---- decoder (transformer.py) ----
     for i in range(cfg.dec_layers):
