@@ -6,10 +6,18 @@ Prints ONE JSON line:
 Metric: batched 640x640 inference throughput per chip for LW-DETR-small
 (bf16 compute, jit, forward + NMS-free top-k postprocess), the BASELINE.json
 north-star ("small ... >= 1000 img/s on a v5e-8" => 125 img/s/chip).
+
+Default measures the deployment configuration: approx top-k
+(recall_target=0.99) + bf16 host inputs.  `--exact` (or BENCH_EXACT=1)
+measures the accuracy-validated eval configuration instead — exact top-k and
+f32 host inputs, matching engine.build_eval_step — so both numbers are
+available side by side (the delta is the price of exactness).
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -18,16 +26,26 @@ BASELINE_IMG_S_PER_CHIP = 125.0  # 1000 img/s on 8 chips (BASELINE.json)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exact", action="store_true",
+                    default=bool(int(os.environ.get("BENCH_EXACT", "0"))),
+                    help="exact top-k + f32 inputs (the eval-path config) "
+                         "instead of approx top-k + bf16 inputs")
+    ap.add_argument("--batch", type=int,
+                    default=int(os.environ.get("BENCH_BATCH", 32)))
+    ap.add_argument("--preset", default=os.environ.get("BENCH_PRESET", "small"))
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from lwdetr_tpu.config import get_config
     from lwdetr_tpu.models.lwdetr import build_model, post_process
 
-    cfg = get_config("small")
+    cfg = get_config(args.preset)
     model = build_model(cfg.model, dtype=jnp.bfloat16)
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", 32))
+    batch = args.batch
     images_np = np.random.default_rng(0).standard_normal(
         (batch, 640, 640, 3)).astype(np.float32)
     init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)
@@ -40,12 +58,15 @@ def main():
         out = model.apply(variables, images, train=False)
         sizes = jnp.full((images.shape[0], 2), 640.0)
         return post_process(out["pred_logits"], out["pred_boxes"], sizes,
-                            num_select=cfg.model.num_select, approx=True)
+                            num_select=cfg.model.num_select,
+                            approx=not args.exact)
 
     # bf16 input: the model computes in bf16 anyway — feeding bf16 halves
     # H2D traffic and removes the on-device f32->bf16 cast of the image
-    # (~0.8 ms/batch-32, the single largest non-matmul op in the trace)
-    images = jax.device_put(jnp.asarray(images_np, jnp.bfloat16))
+    # (~0.8 ms/batch-32, the single largest non-matmul op in the trace).
+    # --exact keeps f32 inputs (what the eval loader produces).
+    host_dtype = jnp.float32 if args.exact else jnp.bfloat16
+    images = jax.device_put(jnp.asarray(images_np, host_dtype))
     # warmup (compile + 2 steady); device_get forces real materialization —
     # block_until_ready returns early over the axon tunnel
     jax.device_get(fwd(variables, images)[0])
@@ -62,8 +83,9 @@ def main():
     img_s = batch * iters / dt
     n_chips = max(jax.device_count(), 1)
     value = img_s / n_chips
+    suffix = "_exact" if args.exact else ""
     print(json.dumps({
-        "metric": "lwdetr_small_640_bf16_infer_throughput",
+        "metric": f"lwdetr_{args.preset}_640_bf16_infer_throughput{suffix}",
         "value": round(value, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_IMG_S_PER_CHIP, 4),

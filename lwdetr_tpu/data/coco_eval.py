@@ -82,32 +82,47 @@ def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_crowd, gt_area, area_rng, ma
     D, G = len(dt_boxes_s), len(gt_boxes)
     dt_m = -np.ones((T, D), np.int64)  # index of matched gt, -1 unmatched
     gt_m = -np.ones((T, G), np.int64)
-    for ti, thr in enumerate(IOU_THRS):
+    if D and G:
+        # Greedy matching vectorized over the T IoU thresholds. Semantics
+        # (pycocotools evaluateImg): scan gts sorted non-ignored-first;
+        # a dt takes the max-IoU available gt with iou >= thr, LAST index
+        # winning ties (the scalar loop's `< best: continue` update rule);
+        # an ignored gt never displaces a non-ignored candidate (the scan
+        # breaks at the ignore boundary); matched non-crowd gts become
+        # unavailable, crowd gts can absorb any number of dts.
+        thr = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # (T, 1)
+        crowd = gt_crowd_s.astype(bool)
+        nonig = ~gt_ig
+        any_ig = bool(gt_ig.any())
+        t_idx = np.arange(T)
+
+        def _pick_last_max(cand, iou_d):
+            """(T, G) candidate mask -> (has (T,), m (T,)) last-argmax."""
+            masked = np.where(cand, iou_d[None], -np.inf)
+            best = masked.max(axis=1)
+            has = best > -np.inf
+            m = (G - 1) - np.argmax(masked[:, ::-1] == best[:, None], axis=1)
+            return has, m
+
         for d in range(D):
-            best = min(thr, 1 - 1e-10)
-            m = -1
-            for g in range(G):
-                if gt_m[ti, g] >= 0 and not gt_crowd_s[g]:
-                    continue  # already matched to a non-crowd gt
-                if m > -1 and not gt_ig[m] and gt_ig[g]:
-                    break  # can't improve: remaining gts are all ignored
-                if ious[d, g] < best:
-                    continue
-                best = ious[d, g]
-                m = g
-            if m == -1:
-                continue
-            dt_m[ti, d] = m
-            gt_m[ti, m] = d
+            iou_d = ious[d]
+            avail = (gt_m < 0) | crowd[None]
+            ok = iou_d[None] >= thr
+            has_n, m = _pick_last_max(avail & nonig[None] & ok, iou_d)
+            if any_ig:
+                has_i, m_i = _pick_last_max(avail & gt_ig[None] & ok, iou_d)
+                m = np.where(has_n, m, np.where(has_i, m_i, -1))
+            else:
+                m = np.where(has_n, m, -1)
+            hit = m >= 0
+            dt_m[hit, d] = m[hit]
+            gt_m[t_idx[hit], m[hit]] = d
     # dt ignore: matched to ignored gt, or unmatched and dt area out of range
     dt_area = dt_boxes_s[:, 2] * dt_boxes_s[:, 3]
     a_out = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
-    dt_ig = np.zeros((T, D), bool)
-    for ti in range(T):
-        matched = dt_m[ti] >= 0
-        ig_of_match = np.zeros(D, bool)
-        ig_of_match[matched] = gt_ig[dt_m[ti][matched]]
-        dt_ig[ti] = np.where(matched, ig_of_match, a_out)
+    matched = dt_m >= 0
+    ig_of_match = np.take(np.append(gt_ig, False), dt_m)  # -1 -> sentinel
+    dt_ig = np.where(matched, ig_of_match, a_out[None])
     return {
         "dt_scores": dt_scores_s,
         "dt_matched": dt_m >= 0,
@@ -193,18 +208,28 @@ class CocoEvaluator:
             if not per_img:
                 continue
             for ai, (aname, arng) in enumerate(area_items):
+                # one matching per (img, cat, area) at maxDets[-1]; smaller
+                # maxDets slice the per-image dt columns (greedy matching is
+                # prefix-stable in score order — the match of detection i
+                # never depends on lower-scored detections), exactly as
+                # pycocotools' accumulate slices evaluateImg results
+                evals = [
+                    _evaluate_img(db, ds, gb, gc, ga, arng, MAX_DETS[-1])
+                    for (db, ds, gb, gc, ga) in per_img
+                ]
+                n_gt = sum(e["n_gt"] for e in evals)
+                if n_gt == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    evals = [
-                        _evaluate_img(db, ds, gb, gc, ga, arng, max_det)
-                        for (db, ds, gb, gc, ga) in per_img
-                    ]
-                    n_gt = sum(e["n_gt"] for e in evals)
-                    if n_gt == 0:
-                        continue
-                    scores = np.concatenate([e["dt_scores"] for e in evals])
+                    scores = np.concatenate(
+                        [e["dt_scores"][:max_det] for e in evals])
                     order = np.argsort(-scores, kind="mergesort")
-                    matched = np.concatenate([e["dt_matched"] for e in evals], axis=1)[:, order]
-                    ignored = np.concatenate([e["dt_ignore"] for e in evals], axis=1)[:, order]
+                    matched = np.concatenate(
+                        [e["dt_matched"][:, :max_det] for e in evals],
+                        axis=1)[:, order]
+                    ignored = np.concatenate(
+                        [e["dt_ignore"][:, :max_det] for e in evals],
+                        axis=1)[:, order]
 
                     tps = matched & ~ignored
                     fps = ~matched & ~ignored

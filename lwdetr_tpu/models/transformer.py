@@ -93,8 +93,11 @@ class MultiheadSelfAttention(nn.Module):
         ik = in_kernel.astype(self.dtype)
         ib = in_bias.astype(self.dtype)
 
+        # static-zero test must also catch np.float32/jnp scalar zeros from
+        # config plumbing — only a Tracer keeps the (slower) dropout path
         no_drop = deterministic or (
-            isinstance(dropout_rate, (int, float)) and dropout_rate == 0.0)
+            not isinstance(dropout_rate, jax.core.Tracer)
+            and float(dropout_rate) == 0.0)
         if (jax.default_backend() == "tpu" and no_drop
                 and q.shape[1] == k.shape[1]):
             # channel-major sandwich into the fused Pallas attention (see

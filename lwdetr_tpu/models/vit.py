@@ -60,9 +60,9 @@ def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> j
 class Attention(nn.Module):
     """Fused-qkv multi-head self-attention with CAE bias trick.
 
-    The softmax-attention core goes through ops/flash_attention.mha_packed:
-    a Pallas kernel fusing QK^T+softmax+PV in VMEM with the head loop inside
-    the kernel, for both window and global blocks.
+    The softmax-attention core goes through ops/flash_attention.attention_cm:
+    a channel-major Pallas kernel fusing QK^T+softmax+PV in VMEM, used by
+    both window and global blocks.
     """
 
     dim: int
@@ -120,6 +120,25 @@ class DenseCM(nn.Module):
         out = jnp.einsum("cz,bcn->bnz", kernel.astype(self.dtype),
                          x_t.astype(self.dtype))
         return out + bias.astype(self.dtype)
+
+
+class LayerNormFused(nn.Module):
+    """LayerNorm through the fused Pallas kernel (ops/fused_ln.py): one
+    HBM read + one write per token block with fp32 stats in VMEM, vs XLA's
+    multi-pass lowering.  Param names/shapes match nn.LayerNorm so the
+    torch<->flax checkpoint bridge is unaffected."""
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from lwdetr_tpu.ops.fused_ln import layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return layer_norm(x.astype(self.dtype), scale, bias, eps=self.epsilon)
 
 
 class Mlp(nn.Module):

@@ -55,18 +55,14 @@ def main():
             lambda t: fa.attention_cm(t, H, scale),
             lambda x, y: x + jnp.concatenate([y, y, y], 1) * jnp.bfloat16(1e-8)),
             qkv_t)
-        # packed: q=k=v (B, N, C) -> (B, N, C)
-        t_pk = scan_time(looped(
-            lambda t: fa.mha_packed(t, t, t, H, scale),
-            lambda x, y: x + y * jnp.bfloat16(1e-8)),
-            q)
+        # xla oracle over the same channel-major packing
         t_xla = scan_time(looped(
-            lambda t: fa._xla_sdpa_packed(t, t, t, H, scale),
-            lambda x, y: x + y * jnp.bfloat16(1e-8)),
-            q)
+            lambda t: fa._xla_sdpa_cm(t, H, scale),
+            lambda x, y: x + jnp.concatenate([y, y, y], 1) * jnp.bfloat16(1e-8)),
+            qkv_t)
         flops = 4 * B * H * N * N * D
         ceil = flops / (197e12 / 8)  # 12.5% MXU ceiling at D=16
-        print(f"{name:7} B={B} N={N}: cm {t_cm*1e3:7.3f}  packed {t_pk*1e3:7.3f}"
+        print(f"{name:7} B={B} N={N}: cm {t_cm*1e3:7.3f}"
               f"  xla {t_xla*1e3:7.3f} ms   (D16-ceiling {ceil*1e3:6.3f} ms)")
 
 
