@@ -122,25 +122,6 @@ class DenseCM(nn.Module):
         return out + bias.astype(self.dtype)
 
 
-class LayerNormFused(nn.Module):
-    """LayerNorm through the fused Pallas kernel (ops/fused_ln.py): one
-    HBM read + one write per token block with fp32 stats in VMEM, vs XLA's
-    multi-pass lowering.  Param names/shapes match nn.LayerNorm so the
-    torch<->flax checkpoint bridge is unaffected."""
-
-    epsilon: float = 1e-6
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from lwdetr_tpu.ops.fused_ln import layer_norm
-
-        C = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        return layer_norm(x.astype(self.dtype), scale, bias, eps=self.epsilon)
-
-
 class Mlp(nn.Module):
     dim: int
     hidden: int

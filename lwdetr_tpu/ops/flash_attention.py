@@ -254,12 +254,94 @@ def _attn_cm_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _attn_cm_bwd_allheads_kernel(qkv_ref, do_ref, dqkv_ref, *,
+                                 num_heads: int, scale: float, kv_len: int):
+    """Single-shot backward for short sequences (N<=128, one query block):
+    all heads of g images per program, one contiguous (3C, N) panel DMA per
+    image (mirrors _attn_cm_allheads_kernel — per-head (D, N) strips are
+    DMA-bound at window sizes).  Zero-padded query rows self-cancel: their
+    dout is zero, so ds and the dv contribution vanish; padded KEY columns
+    are masked out of the softmax."""
+    g, ZC, n_pad = qkv_ref.shape
+    C = ZC // 3
+    D = C // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[:, h * D:(h + 1) * D, :]                 # (g, D, N)
+        k = qkv_ref[:, C + h * D:C + (h + 1) * D, :]
+        v = qkv_ref[:, 2 * C + h * D:2 * C + (h + 1) * D, :]
+        do = do_ref[:, h * D:(h + 1) * D, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (g, Nq, Nk)
+        s = s * scale
+        if n_pad != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (g, Nq, Nk)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row) * scale).astype(q.dtype)         # (g, Nq, Nk)
+        pq = p.astype(do.dtype)
+        dqkv_ref[:, h * D:(h + 1) * D, :] = jax.lax.dot_general(
+            k, ds, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dqkv_ref[:, C + h * D:C + (h + 1) * D, :] = jax.lax.dot_general(
+            q, ds, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dqkv_ref[:, 2 * C + h * D:2 * C + (h + 1) * D, :] = jax.lax.dot_general(
+            do, pq, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+
+
 def _attn_cm_bwd_pallas(qkv_t, dout_t, num_heads, scale, interpret):
     """(B, 3C, N), (B, C, N) -> d(qkv_t) (B, 3C, N)."""
     B, ZC, N = qkv_t.shape
     C = ZC // 3
     D = C // num_heads
     H = num_heads
+
+    if N <= 128:
+        n_pad = _round_up(N, 128)
+        N_orig = N
+        if n_pad != N:
+            qkv_t = jnp.pad(qkv_t, [(0, 0), (0, 0), (0, n_pad - N)])
+            dout_t = jnp.pad(dout_t, [(0, 0), (0, 0), (0, n_pad - N)])
+        # panels + per-head f32 (Nq, Nk) intermediates
+        per_slice = (2 * ZC + C) * n_pad * qkv_t.dtype.itemsize \
+            + 5 * n_pad * n_pad * 4
+        g = max(1, min(16, (8 * 1024 * 1024) // max(per_slice, 1)))
+        while B % g:
+            g -= 1
+        try:
+            out = pl.pallas_call(
+                functools.partial(_attn_cm_bwd_allheads_kernel,
+                                  num_heads=H, scale=scale, kv_len=N_orig),
+                grid=(B // g,),
+                in_specs=[
+                    pl.BlockSpec((g, ZC, n_pad), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g, C, n_pad), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((g, ZC, n_pad), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, ZC, n_pad), qkv_t.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+                cost_estimate=pl.CostEstimate(
+                    flops=10 * B * H * n_pad * n_pad * D,
+                    bytes_accessed=2 * B * ZC * n_pad * qkv_t.dtype.itemsize,
+                    transcendentals=B * H * n_pad * n_pad,
+                ),
+                interpret=interpret,
+            )(qkv_t, dout_t)
+        except Exception:
+            return None
+        return out[:, :, :N_orig] if n_pad != N_orig else out
 
     blk_q = min(_round_up(N, 128), 128)
     n_pad = _round_up(N, blk_q)
@@ -336,7 +418,10 @@ def _attn_cm_bwd_pallas_call(qkv_t, dout_t, grid, g, D, H, N, blk_q, n_q,
 def _attn_cm_bwd(num_heads, scale, interpret, res, g):
     (qkv_t,) = res
     B, ZC, N = qkv_t.shape
-    if interpret or (N >= 256 and jax.default_backend() == "tpu"):
+    # window blocks (N=hw, e.g. 100) take the Pallas path too: the XLA vjp
+    # re-materializes the (B, H, N, N) scores through HBM even at small N,
+    # and the window path is the majority of encoder blocks
+    if interpret or jax.default_backend() == "tpu":
         out = _attn_cm_bwd_pallas(qkv_t, g, num_heads, scale, interpret)
         if out is not None:
             return (out,)

@@ -238,6 +238,12 @@ def main(args):
     np.random.seed(tcfg.seed)
 
     mesh = make_mesh()
+    n_data = mesh.shape.get("data", 1)
+    if tcfg.batch_size % max(n_data, 1):
+        raise ValueError(
+            f"--batch_size {tcfg.batch_size} must be divisible by the "
+            f"{n_data} local devices on the data mesh axis (per-host batch "
+            f"is sharded over local devices)")
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(mcfg, dtype=dtype)
     criterion = SetCriterion(mcfg, tcfg)

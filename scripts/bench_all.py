@@ -41,21 +41,25 @@ def bench_size(size: str, batch: int) -> dict:
         return post_process(out["pred_logits"], out["pred_boxes"], sizes,
                             num_select=cfg.model.num_select)
 
-    images = jax.device_put(jnp.asarray(images_np))
-    jax.device_get(fwd(variables, images)[0])
-    for _ in range(2):
-        jax.device_get(fwd(variables, images)[0])
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fwd(variables, images)
-    jax.device_get(out[0])
-    dt = (time.perf_counter() - t0) / n
+    def timed(imgs, n):
+        jax.device_get(fwd(variables, imgs)[0])
+        for _ in range(2):
+            jax.device_get(fwd(variables, imgs)[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(variables, imgs)
+        jax.device_get(out[0])
+        return (time.perf_counter() - t0) / n
+
+    dt = timed(jax.device_put(jnp.asarray(images_np, jnp.bfloat16)), 10)
+    # batch-1 latency: the reference table's column (TRT fp16 single image)
+    dt1 = timed(jax.device_put(jnp.asarray(images_np[:1], jnp.bfloat16)), 20)
     return {
         "metric": f"lwdetr_{size}_640_bf16_infer_throughput",
         "value": round(batch / dt, 2),
         "unit": "img/s/chip",
         "batch_ms": round(dt * 1000, 2),
+        "bs1_ms": round(dt1 * 1000, 2),
         "ref_trt_fp16_ms_bs1": BASELINE_TRT_MS[size],
     }
 

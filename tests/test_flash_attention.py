@@ -67,26 +67,3 @@ def test_attention_cm_bf16():
     ref = fa._xla_sdpa_cm(qkv_t.astype(jnp.float32), H, scale)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
-
-
-def test_fused_layer_norm_parity():
-    from lwdetr_tpu.ops.fused_ln import layer_norm, _ln_ref
-
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.standard_normal((512, 100, 192)) * 3 + 1, jnp.float32)
-    s = jnp.asarray(rng.standard_normal(192), jnp.float32)
-    b = jnp.asarray(rng.standard_normal(192), jnp.float32)
-    got = layer_norm(x, s, b, interpret=True)
-    ref = _ln_ref(x, s, b, 1e-6)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
-
-    # grad parity (custom_vjp recompute path)
-    g1 = jax.grad(lambda x: jnp.sum(layer_norm(x, s, b, interpret=True) ** 2))(x)
-    g2 = jax.grad(lambda x: jnp.sum(_ln_ref(x, s, b, 1e-6) ** 2))(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
-
-    # ragged rows fall back to the XLA reference
-    x2 = jnp.asarray(rng.standard_normal((7, 13, 192)), jnp.float32)
-    got2 = layer_norm(x2, s, b, interpret=True)
-    np.testing.assert_allclose(np.asarray(got2),
-                               np.asarray(_ln_ref(x2, s, b, 1e-6)), atol=1e-5)

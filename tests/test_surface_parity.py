@@ -60,6 +60,30 @@ def test_o365_dataset_loads(o365_dir):
     assert batch["valid"][:, 0].all()
 
 
+def test_o365_eval_e2e(o365_dir, tmp_path):
+    """Full CLI path on the o365 layout: build_dataset('o365') -> loader ->
+    jitted eval (incl. criterion losses) -> evaluator. The pretrain
+    launchers (scripts_pretrain/*.sh) drive exactly this surface with
+    --dataset_file o365 (reference datasets/o365.py:18-50)."""
+    from main import get_args_parser, main
+
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
+    args = parser.parse_args([
+        "--encoder", "vit_tiny", "--vit_encoder_num_layers", "2",
+        "--window_block_indexes", "0", "--out_feature_indexes", "0", "1",
+        "--projector_scale", "P4", "--hidden_dim", "64",
+        "--dim_feedforward", "128", "--sa_nheads", "4", "--ca_nheads", "8",
+        "--dec_n_points", "2", "--dec_layers", "2", "--group_detr", "2",
+        "--num_queries", "12", "--num_select", "10", "--two_stage",
+        "--bbox_reparam", "--lite_refpoint_refine", "--ia_bce_loss",
+        "--batch_size", "8", "--max_gt", "10", "--dataset_file", "o365",
+        "--coco_path", o365_dir, "--square_resize_div_64", "--eval",
+        "--dont_bench", "--output_dir", str(tmp_path)])
+    cfg = __import__("main").config_from_args(args)
+    assert cfg.model.num_classes == 366
+    main(args)  # must complete: random weights -> AP 0.0 is fine
+
+
 def test_preset_o365_sets_366_classes():
     from main import config_from_args, get_args_parser
 
