@@ -11,9 +11,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASELINE_TRT_MS = {  # reference TensorRT fp16 total latency (README)
     "tiny": 2.0, "small": 2.9, "medium": 5.6, "large": 8.8, "xlarge": 19.1}
