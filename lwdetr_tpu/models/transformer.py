@@ -191,14 +191,16 @@ class MSDeformAttnModule(nn.Module):
         # * training (group-DETR Q = num_queries*groups, e.g. 3904): the
         #   (q, n) sweep scales with Q in forward AND both backward kernels,
         #   while the separable factorization's value prep is Q-independent
-        #   — sep wins there. Gated on unroll size (heads*levels*points
-        #   static loop) and on the value panels fitting VMEM.
-        use_sep = (on_tpu and train
-                   and self.n_heads * self.n_levels * self.n_points <= 64)
+        #   — sep wins there.
+        # * large token counts (P3 levels, Len_in ~ 6800): the cm sweep is
+        #   O(q·n·cp) regardless of mode and dominates the whole forward
+        #   (measured 41 ms/call at large@640 b32 eval) — sep in both modes.
+        use_sep = on_tpu and (train or Len_in >= 4096)
         if use_sep:
             vmem = _sep_vmem_need(tuple(spatial_shapes), self.n_heads, D, 128,
-                                  self.n_levels * self.n_points * 2)
-            use_sep = vmem <= 8 * 1024 * 1024
+                                  self.n_levels * self.n_points * 2,
+                                  self.n_points)
+            use_sep = vmem <= 40 * 1024 * 1024
         channel_major = on_tpu and not use_sep
 
         # pad queries to the kernel q-block at the SOURCE: a wide-lane

@@ -220,6 +220,138 @@ def test_separable_kernel_parity_interpret():
                                rtol=1e-4)
 
 
+def test_separable_kernel_parity_stacked_qblock():
+    """Q >= 128 takes the point-stacked (P*q-row) panels in fwd and bwd
+    (the path every real config hits on TPU; small Q falls back to the
+    per-point loop - fractional-tile sublane concat stalls Mosaic)."""
+    from lwdetr_tpu.ops.deform_attn import ms_deform_attn_sep
+
+    rng = np.random.default_rng(19)
+    shapes = ((10, 10),)
+    value, loc, w = make_inputs(rng, B=1, Q=130, n_heads=2, head_dim=16,
+                                shapes=shapes, P=2)
+    out = ms_deform_attn_sep(jnp.asarray(value), shapes, jnp.asarray(loc),
+                             jnp.asarray(w), interpret=True)
+    ref = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                         jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+    def f_fused(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_sep(v, shapes, l, a, interpret=True) ** 2)
+
+    def f_ref(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3)
+
+
+def test_separable_kernel_parity_stacked_bf16_backward():
+    """The STACKED backward branch only fires in bf16: f32 halves the
+    backward q-block to 64 (VMEM) which re-routes to the per-point loop.
+    bf16 + q_pad >= 128 is exactly what the real TPU training path runs;
+    exercise it in interpret mode against the f32 oracle on the same
+    bf16-rounded inputs (tolerance = bf16 rounding, not kernel logic)."""
+    from lwdetr_tpu.ops.deform_attn import ms_deform_attn_sep
+
+    rng = np.random.default_rng(21)
+    shapes = ((10, 10),)
+    value, loc, w = make_inputs(rng, B=1, Q=130, n_heads=2, head_dim=16,
+                                shapes=shapes, P=2)
+    vb = jnp.asarray(value).astype(jnp.bfloat16)
+    lb = jnp.asarray(loc)
+    wb = jnp.asarray(w)
+    # oracle consumes the same bf16-rounded value in f32
+    vf = vb.astype(jnp.float32)
+
+    def f_fused(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_sep(v, shapes, l, a,
+                               interpret=True).astype(jnp.float32) ** 2)
+
+    def f_ref(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(vb, lb, wb)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(vf, lb, wb)
+    for a, b in zip(g1, g2):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-2)
+
+
+def test_separable_kernel_parity_wide_level():
+    """W_l*D >= 1024 takes the MXU lane-expansion (one-hot E) path in both
+    fwd and bwd - the P3-class branch the large/xlarge decoders hit."""
+    from lwdetr_tpu.ops.deform_attn import ms_deform_attn_sep
+
+    rng = np.random.default_rng(18)
+    shapes = ((6, 64),)
+    value, loc, w = make_inputs(rng, B=1, Q=9, n_heads=2, head_dim=16,
+                                shapes=shapes, P=2)
+    out = ms_deform_attn_sep(jnp.asarray(value), shapes, jnp.asarray(loc),
+                             jnp.asarray(w), interpret=True)
+    ref = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                         jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+    def f_fused(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_sep(v, shapes, l, a, interpret=True) ** 2)
+
+    def f_ref(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3)
+
+
+def test_separable_kernel_parity_4points_2levels():
+    """The large/xlarge decoder shape class (n_points=4, two levels, P3+P5
+    aspect): exercises the point-stacked mask panels in fwd AND bwd."""
+    from lwdetr_tpu.ops.deform_attn import ms_deform_attn_sep
+
+    rng = np.random.default_rng(17)
+    shapes = ((12, 12), (3, 3))
+    value, loc, w = make_inputs(rng, B=2, Q=10, n_heads=4, head_dim=16,
+                                shapes=shapes, P=4)
+    out = ms_deform_attn_sep(jnp.asarray(value), shapes, jnp.asarray(loc),
+                             jnp.asarray(w), interpret=True)
+    ref = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc),
+                         jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+    def f_fused(v, l, a):
+        return jnp.sum(
+            ms_deform_attn_sep(v, shapes, l, a, interpret=True) ** 2)
+
+    def f_ref(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3)
+
+
 def test_separable_kernel_grad_flows():
     from lwdetr_tpu.ops.deform_attn import ms_deform_attn_sep
 
