@@ -110,6 +110,11 @@ class DataConfig:
     dataset_file: str = "coco"  # coco | o365
     coco_path: str = ""
     square_resize_div_64: bool = False
+    # reference fidelity knob: sample the square train size per IMAGE and pad
+    # the batch to its max with a pad_mask (the reference recipe,
+    # coco.py:123-147 + util/misc.py:317-339). Default per-BATCH sizing keeps
+    # one mask-free shape per step (same marginal scale distribution).
+    per_image_scales: bool = False
     num_workers: int = 2
     eval_square_size: int = 640
 

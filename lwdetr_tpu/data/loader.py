@@ -76,6 +76,7 @@ class DetectionLoader:
         prefetch: int = 2,
         drop_last: Optional[bool] = None,
         use_native: bool = True,
+        per_image_scales: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -89,6 +90,7 @@ class DetectionLoader:
         self.prefetch = prefetch
         self.drop_last = train if drop_last is None else drop_last
         self.use_native = use_native
+        self.per_image_scales = per_image_scales
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -113,8 +115,12 @@ class DetectionLoader:
     def _make_batch(self, idxs, rng: np.random.Generator):
         samples = []
         if self.train:
-            size = int(T.SCALES_SQUARE[rng.integers(len(T.SCALES_SQUARE))]) \
-                if self.square_div_64 else None
+            # per-batch size keeps one mask-free shape per step; with
+            # per_image_scales each image samples its own size (hint=None,
+            # the reference recipe) and the batch pads to its max + pad_mask
+            size = None
+            if self.square_div_64 and not self.per_image_scales:
+                size = int(T.SCALES_SQUARE[rng.integers(len(T.SCALES_SQUARE))])
             for i in idxs:
                 img, tgt = self.ds.load_raw(int(i))
                 if self.square_div_64:
@@ -123,7 +129,7 @@ class DetectionLoader:
                 else:
                     img, tgt = T.train_transform_default(rng, img, tgt)
                 samples.append((img, tgt))
-            if not self.square_div_64:
+            if not self.square_div_64 or self.per_image_scales:
                 samples = _pad_to_common(samples)
         else:
             for i in idxs:

@@ -90,6 +90,10 @@ def get_args_parser():
     p.add_argument("--dataset_file", default="coco")
     p.add_argument("--coco_path", type=str)
     p.add_argument("--square_resize_div_64", action="store_true")
+    p.add_argument("--per_image_scales", action="store_true",
+                   help="sample the square train size per image and pad the "
+                        "batch to its max with a mask (the reference recipe; "
+                        "default samples one size per batch, mask-free)")
     # run control
     p.add_argument("--output_dir", default="output")
     p.add_argument("--checkpoint_interval", default=10, type=int)
@@ -199,6 +203,7 @@ def config_from_args(args):
     data = DataConfig(
         dataset_file=args.dataset_file, coco_path=args.coco_path or "",
         square_resize_div_64=args.square_resize_div_64,
+        per_image_scales=args.per_image_scales,
         num_workers=args.num_workers)
     return Config(model=model, train=train, data=data,
                   output_dir=args.output_dir)
@@ -260,6 +265,7 @@ def main(args):
             ds_train, batch_size=tcfg.batch_size, train=True,
             max_gt=tcfg.max_gt, seed=tcfg.seed,
             square_div_64=dcfg.square_resize_div_64,
+            per_image_scales=dcfg.per_image_scales,
             process_index=jax.process_index(), process_count=jax.process_count())
         niter_per_ep = len(train_loader)
     else:

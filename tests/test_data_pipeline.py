@@ -92,6 +92,35 @@ def test_train_loader_batch_shapes(coco_dir):
     assert len(sizes) >= 2, "batch sizes should vary across batches/epochs"
 
 
+def test_train_loader_per_image_scales(coco_dir):
+    """--per_image_scales: each image samples its own square size (the
+    reference recipe, coco.py:123-147) and the batch pads to the max with a
+    pad_mask (util/misc.py:317-339 semantics: True on padding)."""
+    from lwdetr_tpu.data.transforms import SCALES_SQUARE
+
+    ds = CocoDetection(os.path.join(coco_dir, "val2017"),
+                       os.path.join(coco_dir, "annotations/instances_val2017.json"))
+    loader = DetectionLoader(ds, batch_size=4, train=True, max_gt=10, seed=3,
+                             drop_last=False, per_image_scales=True)
+    per_image_sizes = set()
+    for epoch in range(4):
+        loader.set_epoch(epoch)
+        for b in loader:
+            assert "pad_mask" in b
+            B, H, W = b["pad_mask"].shape
+            assert b["images"].shape == (B, H, W, 3)
+            assert H == W and H % 64 == 0 and H in SCALES_SQUARE
+            for i in range(B):
+                # each image's valid extent is square and a recipe size
+                valid_rows = (~b["pad_mask"][i]).any(axis=1).sum()
+                valid_cols = (~b["pad_mask"][i]).any(axis=0).sum()
+                assert valid_rows == valid_cols and valid_rows in SCALES_SQUARE
+                per_image_sizes.add(int(valid_rows))
+                # padding is zero in the image tensor
+                assert (b["images"][i][b["pad_mask"][i]] == 0).all()
+    assert len(per_image_sizes) >= 3, "images should sample multiple sizes"
+
+
 def test_cheating_model_gets_ap1(coco_dir):
     """GT-echo model through loader+eval: validates coordinate round trip."""
     ds = CocoDetection(os.path.join(coco_dir, "val2017"),
