@@ -155,3 +155,35 @@ def test_sharded_train_step_multidevice():
         # params remain replicated after the step
         p = jax.tree.leaves(state2.params)[0]
         assert p.sharding.is_fully_replicated
+
+
+def test_sharded_eval_step_multidevice():
+    """Inference path over the 8-device CPU mesh: batch-sharded forward +
+    postprocess match the single-device result exactly (data-parallel
+    serving is pure SPMD — no collectives in the graph)."""
+    from lwdetr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from lwdetr_tpu.train.engine import build_eval_step
+
+    model = build_model(NANO)
+    rng = jax.random.PRNGKey(0)
+    batch_np = synthetic_batch(np.random.default_rng(1), B=8)
+    batch_np["orig_size"] = np.full((8, 2), 128.0, np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           batch_np["images"], train=True)
+    eval_step = build_eval_step(model, num_select=8)
+
+    (s0, l0, b0), _ = jax.device_get(
+        eval_step(variables["params"], variables.get("batch_stats", {}),
+                  batch_np))
+
+    mesh = make_mesh(n_data=8)
+    with mesh:
+        params = jax.device_put(variables["params"], replicated(mesh))
+        bstats = jax.device_put(variables.get("batch_stats", {}),
+                                replicated(mesh))
+        sharded = jax.device_put(batch_np, batch_sharding(mesh))
+        (s1, l1, b1), _ = jax.device_get(eval_step(params, bstats, sharded))
+
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_allclose(b0, b1, atol=1e-5)
