@@ -199,7 +199,8 @@ class MSDeformAttnModule(nn.Module):
         if use_sep:
             vmem = _sep_vmem_need(tuple(spatial_shapes), self.n_heads, D, 128,
                                   self.n_levels * self.n_points * 2,
-                                  self.n_points)
+                                  self.n_points,
+                                  val_bytes=jnp.dtype(self.dtype).itemsize)
             use_sep = vmem <= 40 * 1024 * 1024
         channel_major = on_tpu and not use_sep
 
