@@ -77,6 +77,7 @@ class DetectionLoader:
         drop_last: Optional[bool] = None,
         use_native: bool = True,
         per_image_scales: bool = False,
+        num_workers: int = 1,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -91,6 +92,13 @@ class DetectionLoader:
         self.drop_last = train if drop_last is None else drop_last
         self.use_native = use_native
         self.per_image_scales = per_image_scales
+        # torch-DataLoader-workers equivalent (reference main.py --num_workers):
+        # a thread pool over the per-image decode+transform. PIL decode/resize
+        # and the native C preproc both release the GIL, so threads scale;
+        # per-image rngs are spawned in index order, so batches are identical
+        # for any worker count.
+        self.num_workers = max(1, num_workers)
+        self._pool = None
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -112,8 +120,16 @@ class DetectionLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _map_samples(self, fn, args):
+        if self.num_workers > 1 and len(args) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            return list(self._pool.map(fn, args))
+        return [fn(a) for a in args]
+
     def _make_batch(self, idxs, rng: np.random.Generator):
-        samples = []
         if self.train:
             # per-batch size keeps one mask-free shape per step; with
             # per_image_scales each image samples its own size (hint=None,
@@ -121,24 +137,31 @@ class DetectionLoader:
             size = None
             if self.square_div_64 and not self.per_image_scales:
                 size = int(T.SCALES_SQUARE[rng.integers(len(T.SCALES_SQUARE))])
-            for i in idxs:
+            # one spawned rng per image, in index order: batches are
+            # bit-identical for any num_workers
+            child_rngs = rng.spawn(len(idxs))
+
+            def load_train(arg):
+                i, crng = arg
                 img, tgt = self.ds.load_raw(int(i))
                 if self.square_div_64:
-                    img, tgt = T.train_transform_square_div_64(
-                        rng, img, tgt, batch_size_hint=size)
-                else:
-                    img, tgt = T.train_transform_default(rng, img, tgt)
-                samples.append((img, tgt))
+                    return T.train_transform_square_div_64(
+                        crng, img, tgt, batch_size_hint=size)
+                return T.train_transform_default(crng, img, tgt)
+
+            samples = self._map_samples(load_train, list(zip(idxs, child_rngs)))
             if not self.square_div_64 or self.per_image_scales:
                 samples = _pad_to_common(samples)
         else:
-            for i in idxs:
+            def load_eval(i):
                 sample = self._eval_sample_native(int(i)) if self.use_native else None
                 if sample is None:
                     img, tgt = self.ds.load_raw(int(i))
                     img, tgt = T.val_transform_square(img, tgt, self.eval_size)
                     sample = (img, tgt)
-                samples.append(sample)
+                return sample
+
+            samples = self._map_samples(load_eval, list(idxs))
         return collate(samples, self.max_gt)
 
     def _eval_sample_native(self, idx: int):

@@ -258,6 +258,7 @@ def main(args):
     val_loader = DetectionLoader(
         ds_val, batch_size=max(tcfg.batch_size, 1), train=False,
         max_gt=tcfg.max_gt, square_div_64=dcfg.square_resize_div_64,
+        num_workers=dcfg.num_workers,
         process_index=jax.process_index(), process_count=jax.process_count())
     if not args.eval:
         ds_train = build_dataset("train", dcfg)
@@ -266,6 +267,7 @@ def main(args):
             max_gt=tcfg.max_gt, seed=tcfg.seed,
             square_div_64=dcfg.square_resize_div_64,
             per_image_scales=dcfg.per_image_scales,
+            num_workers=dcfg.num_workers,
             process_index=jax.process_index(), process_count=jax.process_count())
         niter_per_ep = len(train_loader)
     else:

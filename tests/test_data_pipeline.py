@@ -121,6 +121,22 @@ def test_train_loader_per_image_scales(coco_dir):
     assert len(per_image_sizes) >= 3, "images should sample multiple sizes"
 
 
+def test_loader_workers_deterministic(coco_dir):
+    """--num_workers threads the per-image decode+transform; per-image rngs
+    are spawned in index order so batches are bit-identical for any worker
+    count (train with random augs AND eval)."""
+    ds = CocoDetection(os.path.join(coco_dir, "val2017"),
+                       os.path.join(coco_dir, "annotations/instances_val2017.json"))
+    for train in (True, False):
+        mk = lambda w: DetectionLoader(ds, batch_size=2, train=train,
+                                       max_gt=10, seed=5, num_workers=w,
+                                       per_image_scales=train)
+        for b1, b4 in zip(mk(1), mk(4)):
+            assert set(b1) == set(b4)
+            for k in b1:
+                np.testing.assert_array_equal(b1[k], b4[k])
+
+
 def test_cheating_model_gets_ap1(coco_dir):
     """GT-echo model through loader+eval: validates coordinate round trip."""
     ds = CocoDetection(os.path.join(coco_dir, "val2017"),
