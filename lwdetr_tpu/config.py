@@ -25,6 +25,11 @@ class ModelConfig:
     position_embedding: str = "sine"  # sine | learned
     drop_path: float = 0.0
     dropout: float = 0.0
+    # remat the encoder blocks: trades ~1 extra forward of encoder FLOPs for
+    # not keeping per-block activations alive through the backward — the
+    # TPU-native lever for larger per-chip batches (no reference equivalent;
+    # jax.checkpoint over each ViT block)
+    grad_checkpointing: bool = False
 
     # Projector
     projector_scale: Tuple[str, ...] = ("P4",)  # subset of P3 P4 P5 P6, ascending

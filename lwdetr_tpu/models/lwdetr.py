@@ -48,6 +48,7 @@ class Backbone(nn.Module):
                 window_block_indexes=cfg.window_block_indexes,
                 out_feature_indexes=cfg.out_feature_indexes,
                 use_cae=True,
+                remat=cfg.grad_checkpointing,
                 dtype=self.dtype,
                 name="encoder",
             )

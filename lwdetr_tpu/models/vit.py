@@ -194,6 +194,9 @@ class ViT(nn.Module):
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     use_cae: bool = True
+    # jax.checkpoint each block: recompute block activations in the backward
+    # instead of holding them in HBM (enables larger per-chip train batches)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -214,8 +217,11 @@ class ViT(nn.Module):
         out_idx = [i if i >= 0 else i + self.depth for i in self.out_feature_indexes]
         self._out_flags = tuple(i in out_idx for i in range(self.depth))
         assert self._out_flags[-1], "last block must be an output feature"
+        # nn.remat counts __call__ args with self at 0: deterministic (3) is
+        # static (python bool selects the dropout-free path at trace time)
+        block_cls = nn.remat(Block, static_argnums=(3,)) if self.remat else Block
         self.blocks = [
-            Block(
+            block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 window=(i in self.window_block_indexes),

@@ -134,6 +134,7 @@ def train_one_epoch(
     train_step, state: TrainState, loader, epoch: int, rng,
     drop_path_sched: Optional[np.ndarray], dropout_sched: Optional[np.ndarray],
     niter_per_ep: int, put_fn=None, log_every: int = 50, logger=print,
+    should_stop=None,
 ):
     """Python-side epoch loop (reference engine.py:26-90).
 
@@ -143,6 +144,11 @@ def train_one_epoch(
     they are ready, so the host never stalls the device; a NaN aborts one
     step late, which is already past the reference's guarantee (the
     poisoned optimizer update has been applied either way).
+
+    `should_stop()` is polled once per step (preemption support: a SIGTERM
+    handler sets a flag, the loop finishes the in-flight step and returns
+    so the caller can checkpoint — resume is step-granular, main.py derives
+    start_epoch from state.step).
     """
     from lwdetr_tpu.utils.logging import MetricLogger
 
@@ -178,6 +184,9 @@ def train_one_epoch(
         if pending is not None:
             consume(*pending)
         pending = (it, metrics)
+        if should_stop is not None and should_stop():
+            logger(f"stop requested at epoch {epoch} it {it} — draining")
+            break
     if pending is not None:
         consume(*pending)
 

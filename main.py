@@ -56,6 +56,9 @@ def get_args_parser():
     p.add_argument("--vit_encoder_num_layers", default=12, type=int)
     p.add_argument("--window_block_indexes", default=None, type=int, nargs="+")
     p.add_argument("--position_embedding", default="sine", choices=("sine", "learned"))
+    p.add_argument("--grad_checkpointing", action="store_true",
+                   help="remat encoder blocks (recompute activations in the "
+                        "backward) for larger per-chip train batches")
     p.add_argument("--out_feature_indexes", default=[-1], type=int, nargs="+")
     # transformer
     p.add_argument("--dec_layers", default=3, type=int)
@@ -164,6 +167,7 @@ def config_from_args(args):
         position_embedding=args.position_embedding,
         drop_path=args.drop_path,
         dropout=args.dropout,
+        grad_checkpointing=args.grad_checkpointing,
         projector_scale=tuple(args.projector_scale),
         dec_layers=args.dec_layers,
         dim_feedforward=args.dim_feedforward,
@@ -348,17 +352,46 @@ def main(args):
         static_zero_drop_path=bool(np.all(dp_sched == 0)),
         static_zero_dropout=bool(np.all(do_sched == 0)))
 
+    # preemption support (TPU pools send SIGTERM with a grace window):
+    # finish the in-flight step, checkpoint, exit cleanly; resume is
+    # step-granular (start_epoch derives from state.step on --resume)
+    import signal
+
+    preempt = {"sig": None}
+
+    def _on_term(signum, frame):
+        preempt["sig"] = signum
+        print(f"signal {signum}: draining current step, will checkpoint "
+              f"and exit", flush=True)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     best = BestMetricHolder(use_ema=tcfg.use_ema)
     start = time.time()
     for epoch in range(args.start_epoch, tcfg.epochs):
         train_loader.set_epoch(epoch)
         state, train_meters = train_one_epoch(
             train_step, state, train_loader, epoch, rng,
-            dp_sched, do_sched, niter_per_ep, put_fn=put)
+            dp_sched, do_sched, niter_per_ep, put_fn=put,
+            should_stop=lambda: preempt["sig"] is not None)
+
+        if preempt["sig"] is not None:
+            if args.output_dir and is_main_process():
+                ckpt.save_checkpoint(
+                    os.path.join(args.output_dir, "ckpt"),
+                    int(np.asarray(state.step)), state)
+            print(f"preempted (signal {preempt['sig']}): checkpoint saved at "
+                  f"step {int(np.asarray(state.step))}, exiting")
+            return
 
         if args.output_dir and is_main_process():
+            # the rolling dir is keyed by GLOBAL STEP (not epoch): mid-epoch
+            # preempt saves and end-of-epoch saves stay monotonic with no
+            # key collisions after a resume-and-redo; restore derives the
+            # epoch from state.step either way (main.py resume path)
             ckpt.save_checkpoint(
-                os.path.join(args.output_dir, "ckpt"), epoch, state)
+                os.path.join(args.output_dir, "ckpt"),
+                int(np.asarray(state.step)), state)
             # durable extra checkpoint before the LR drop and every
             # checkpoint_interval epochs (reference main.py:327-344)
             if ((epoch + 1) % tcfg.lr_drop == 0

@@ -45,6 +45,29 @@ def test_train_one_epoch_aborts_on_nan_step():
     assert len(calls) <= 5
 
 
+def test_train_one_epoch_should_stop_drains_and_returns():
+    """Preemption: should_stop() flips after step k -> the loop finishes the
+    in-flight step (its metrics are consumed) and returns without
+    dispatching more; meters cover every completed step."""
+    calls = []
+    stop = {"flag": False}
+
+    def train_step(state, batch, rng, dp, do):
+        calls.append(len(calls))
+        if len(calls) == 3:
+            stop["flag"] = True  # signal arrives while step 2 is in flight
+        return state, {"loss": jnp.float32(1.5), "grad_norm": jnp.float32(0.5)}
+
+    loader = [{"images": np.zeros((1,))} for _ in range(20)]
+    _, meters = train_one_epoch(
+        train_step, _fake_state(), loader, epoch=0,
+        rng=jax.random.PRNGKey(0), drop_path_sched=None, dropout_sched=None,
+        niter_per_ep=20, log_every=50, logger=lambda *a, **k: None,
+        should_stop=lambda: stop["flag"])
+    assert len(calls) == 3  # no further dispatch after the flag
+    assert meters["loss"] == 1.5
+
+
 def test_train_one_epoch_meters_every_step():
     losses = [2.0, 4.0, 6.0, 8.0]
 

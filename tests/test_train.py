@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from lwdetr_tpu.config import ModelConfig, TrainConfig
-from lwdetr_tpu.models.criterion import SetCriterion
+from lwdetr_tpu.models.criterion import SetCriterion, Targets
 from lwdetr_tpu.models.lwdetr import build_model
 from lwdetr_tpu.train.engine import build_train_step, create_train_state
 from lwdetr_tpu.train.optim import build_optimizer, drop_scheduler, lr_wd_trees
@@ -155,6 +155,44 @@ def test_sharded_train_step_multidevice():
         # params remain replicated after the step
         p = jax.tree.leaves(state2.params)[0]
         assert p.sharding.is_fully_replicated
+
+
+def test_grad_checkpointing_same_params_and_grads():
+    """--grad_checkpointing remats the encoder blocks: identical param tree
+    (the checkpoint bridge is unaffected) and identical loss/grads — remat
+    only changes WHEN activations are computed, not the math."""
+    cfg_r = dataclasses.replace(NANO, grad_checkpointing=True)
+    model = build_model(NANO)
+    model_r = build_model(cfg_r)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(np.random.default_rng(2), B=2)
+    variables = model.init({"params": rng, "dropout": rng},
+                           batch["images"], train=True)
+    variables_r = model_r.init({"params": rng, "dropout": rng},
+                               batch["images"], train=True)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(variables_r))
+
+    criterion = SetCriterion(NANO, TCFG)
+    targets = Targets(batch["labels"], batch["boxes"], batch["valid"])
+
+    def loss_fn(m):
+        def f(params):
+            out = m.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          batch["images"], train=True,
+                          rngs={"dropout": rng},
+                          mutable=["batch_stats"])[0]
+            return criterion(out, targets, train=True)[0]
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(model))(variables["params"])
+    l1, g1 = jax.value_and_grad(loss_fn(model_r))(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
 
 
 def test_sharded_eval_step_multidevice():
