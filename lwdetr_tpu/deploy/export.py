@@ -94,4 +94,29 @@ def export_main(args, cfg):
         model, dict(variables), out, input_hw=tuple(args.shape),
         batch=args.batch, num_select=cfg.model.num_select)
     print(f"exported to {path}")
+    if getattr(args, "infer_dir", None):
+        # smoke-run the serialized artifact on a real image (the reference
+        # export.py:41-58 uses --infer_dir as the example input and checks
+        # the exported graph runs)
+        scores, labels, _ = run_artifact_on_image(
+            path, args.infer_dir, tuple(args.shape))
+        top = np.argsort(-scores[0])[:5]
+        print("artifact smoke inference (top-5):",
+              [(int(labels[0][i]), round(float(scores[0][i]), 4))
+               for i in top])
     return path
+
+
+def run_artifact_on_image(path: str, image_path: str, input_hw=(640, 640)):
+    """Deserialize an exported artifact and run it on one image file.
+    Returns (scores, labels, boxes) numpy arrays (batch 1)."""
+    from PIL import Image
+
+    from lwdetr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    fn, weights = load_serialized(path)
+    img = Image.open(image_path).convert("RGB").resize(
+        (input_hw[1], input_hw[0]), Image.BILINEAR)
+    arr = (np.asarray(img, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    out = fn(weights, arr[None])
+    return tuple(np.asarray(o) for o in out)

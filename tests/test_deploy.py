@@ -38,3 +38,27 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+
+def test_export_artifact_smoke_on_image(tmp_path):
+    """--infer_dir equivalent: the exported artifact runs on a real image
+    file (reference export.py:41-58 builds the example input from it)."""
+    from PIL import Image
+
+    from lwdetr_tpu.deploy.export import run_artifact_on_image
+
+    model = build_model(NANO)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 128, 128, 3), jnp.float32), train=True))
+    path = export_serialized(model, variables, str(tmp_path / "m.pkl"),
+                             input_hw=(128, 128), batch=1,
+                             num_select=NANO.num_select)
+    img_path = str(tmp_path / "x.jpg")
+    Image.fromarray(np.random.default_rng(1).integers(
+        0, 255, (200, 300, 3), dtype=np.uint8)).save(img_path)
+    scores, labels, boxes = run_artifact_on_image(path, img_path, (128, 128))
+    assert scores.shape == (1, NANO.num_select)
+    assert labels.shape == (1, NANO.num_select)
+    assert boxes.shape == (1, NANO.num_select, 4)
+    assert np.isfinite(scores).all() and np.isfinite(boxes).all()
