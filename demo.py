@@ -6,6 +6,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 from PIL import Image, ImageDraw
@@ -40,6 +41,8 @@ def main():
     p.add_argument("--output", default="demo_out.jpg")
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--size", type=int, default=640)
+    p.add_argument("--ema", action="store_true",
+                   help="use the EMA weights from an orbax checkpoint")
     args = p.parse_args()
 
     import jax
@@ -60,6 +63,10 @@ def main():
         from lwdetr_tpu.train.checkpoint import load_pth
 
         variables = load_pth(args.checkpoint, cfg.model)
+    elif args.checkpoint and os.path.isdir(args.checkpoint):
+        from lwdetr_tpu.train.checkpoint import load_orbax_variables
+
+        variables = load_orbax_variables(args.checkpoint, use_ema=args.ema)
     else:
         variables = model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},

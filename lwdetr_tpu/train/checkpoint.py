@@ -290,6 +290,26 @@ def load_pretrained_encoder(path: str, cfg: ModelConfig) -> dict:
     return out
 
 
+def load_orbax_variables(ckpt_dir: str, use_ema: bool = False):
+    """Load inference variables {'params', 'batch_stats'} from a native
+    orbax train-state dir (what main.py saves), without needing the
+    optimizer to rebuild an abstract state. `use_ema=True` returns the
+    EMA weights when present."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint steps under {ckpt_dir}")
+        raw = mgr.restore(step)  # raw pytree, saved structure
+    if use_ema and raw.get("ema"):
+        src = raw["ema"]
+    else:
+        src = raw
+    return {"params": src["params"], "batch_stats": src.get("batch_stats", {})}
+
+
 def load_pth(path: str, cfg: ModelConfig, key: str = "model"):
     """Load a reference .pth checkpoint into flax variables."""
     import torch

@@ -151,6 +151,38 @@ def test_evaluate_without_criterion_has_no_loss_keys():
     assert set(stats) == {"AP"}
 
 
+def test_load_orbax_variables_for_inference(tmp_path):
+    """demo.py loads inference weights straight from a native orbax
+    train-state dir (regular or EMA) without rebuilding the optimizer."""
+    from lwdetr_tpu.models.lwdetr import build_model
+    from lwdetr_tpu.train import checkpoint as ckpt
+    from lwdetr_tpu.train.engine import create_train_state
+    from lwdetr_tpu.train.optim import build_optimizer
+
+    model = build_model(NANO)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params0 = model.init({"params": rng, "dropout": rng},
+                         sample, train=True)["params"]
+    tx = build_optimizer(params0, NANO, TCFG, niter_per_ep=10)
+    state = create_train_state(model, tx, rng, sample, use_ema=True)
+    ckpt.save_checkpoint(str(tmp_path / "ckpt"), 7, state)
+
+    var = ckpt.load_orbax_variables(str(tmp_path / "ckpt"))
+    for a, b in zip(jax.tree_util.tree_leaves(var["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    var_ema = ckpt.load_orbax_variables(str(tmp_path / "ckpt"), use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(var_ema["params"]),
+                    jax.tree_util.tree_leaves(state.ema["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # loaded weights drive an eval forward
+    out = model.apply({"params": var["params"],
+                       "batch_stats": var["batch_stats"]},
+                      sample, train=False)
+    assert np.isfinite(np.asarray(out["pred_logits"], np.float32)).all()
+
+
 def test_resume_pth_roundtrip(tmp_path):
     """main.py --resume x.pth: model weights, EMA weights, epoch restored."""
     import torch
