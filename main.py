@@ -223,6 +223,8 @@ def main(args):
     from lwdetr_tpu.data.loader import DetectionLoader
     from lwdetr_tpu.models.criterion import SetCriterion
     from lwdetr_tpu.models.lwdetr import build_model
+    from lwdetr_tpu.parallel.dist import (init_distributed,
+                                          setup_print_for_distributed)
     from lwdetr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
     from lwdetr_tpu.train import checkpoint as ckpt
     from lwdetr_tpu.train.engine import (build_eval_step, build_train_step,
@@ -232,6 +234,15 @@ def main(args):
     from lwdetr_tpu.utils.benchmark import benchmark_model
     from lwdetr_tpu.utils.logging import (BestMetricHolder, is_main_process,
                                           write_log_line)
+
+    # multi-host bootstrap BEFORE any other jax call (reference
+    # init_distributed_mode, util/misc.py:417-439); no-op single-process
+    rank, world = init_distributed()
+    setup_print_for_distributed()
+    if world > 1:
+        print(f"distributed: process {rank}/{world}, "
+              f"{jax.local_device_count()} local / {jax.device_count()} "
+              f"global devices")
 
     cfg = config_from_args(args)
     mcfg, tcfg, dcfg = cfg.model, cfg.train, cfg.data
