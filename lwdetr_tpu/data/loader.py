@@ -154,6 +154,11 @@ class DetectionLoader:
                 samples = _pad_to_common(samples)
         else:
             def load_eval(i):
+                if not self.square_div_64:
+                    # legacy recipe evals at shortest-side 800 / max 1333
+                    # (reference coco.py default val transform)
+                    img, tgt = self.ds.load_raw(int(i))
+                    return T.val_transform_default(img, tgt, 800, 1333)
                 sample = self._eval_sample_native(int(i)) if self.use_native else None
                 if sample is None:
                     img, tgt = self.ds.load_raw(int(i))
@@ -162,6 +167,8 @@ class DetectionLoader:
                 return sample
 
             samples = self._map_samples(load_eval, list(idxs))
+            if not self.square_div_64:
+                samples = _pad_to_common(samples)
         return collate(samples, self.max_gt)
 
     def _eval_sample_native(self, idx: int):
@@ -232,9 +239,14 @@ def _pad_to_common(samples):
 
     Returns samples with a shared shape; padded area is encoded by the
     `pad_mask` entry added to each target (True on padding).
+
+    The padded extent rounds up to a multiple of 64: the window-major ViT
+    needs 64-divisible inputs (16-pixel patches x 4 windows per side), and
+    quantizing the pad bounds the number of XLA-compiled shape variants —
+    the mask keeps the extra padding semantically invisible.
     """
-    max_h = max(s[0].shape[0] for s in samples)
-    max_w = max(s[0].shape[1] for s in samples)
+    max_h = -(-max(s[0].shape[0] for s in samples) // 64) * 64
+    max_w = -(-max(s[0].shape[1] for s in samples) // 64) * 64
     out = []
     for img, tgt in samples:
         h, w = img.shape[:2]

@@ -121,13 +121,3 @@ class PositionEmbeddingLearned:
         grid_x = jnp.broadcast_to(x_emb[None, :, :], (h, w, self.num_pos_feats))
         grid_y = jnp.broadcast_to(y_emb[:, None, :], (h, w, self.num_pos_feats))
         return jnp.concatenate([grid_x, grid_y], axis=-1)
-
-
-def build_position_encoding(position_embedding: str, hidden_dim: int):
-    """Registry matching the reference (position_encoding.py:131-141)."""
-    n_steps = hidden_dim // 2
-    if position_embedding in ("v2", "sine"):
-        return lambda mask: sine_position_embedding(mask, n_steps, normalize=True)
-    if position_embedding in ("v3", "learned"):
-        return PositionEmbeddingLearned(n_steps)
-    raise ValueError(f"not supported {position_embedding}")

@@ -61,25 +61,6 @@ def bicubic_resize_2d(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     return x
 
 
-def bilinear_resize_matrix(src: int, dst: int, align_corners: bool = False) -> np.ndarray:
-    """(dst, src) bilinear weights matching torch F.interpolate(mode='bilinear')."""
-    M = np.zeros((dst, src), dtype=np.float64)
-    if src == dst:
-        np.fill_diagonal(M, 1.0)
-        return M.astype(np.float32)
-    for i in range(dst):
-        if align_corners and dst > 1:
-            x = i * (src - 1) / (dst - 1)
-        else:
-            x = max((i + 0.5) * src / dst - 0.5, 0.0)
-        x0 = int(np.floor(x))
-        t = x - x0
-        x1 = min(x0 + 1, src - 1)
-        M[i, x0] += 1.0 - t
-        M[i, x1] += t
-    return M.astype(np.float32)
-
-
 def nearest_resize_index(src: int, dst: int) -> np.ndarray:
     """Index vector matching torch F.interpolate(mode='nearest')."""
     return np.minimum((np.arange(dst) * src // dst), src - 1).astype(np.int32)

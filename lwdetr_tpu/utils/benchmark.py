@@ -77,14 +77,3 @@ def benchmark_model(model, variables, image_size: int = 640, batch: int = 1,
            f"{stats['gflops']:.1f} GFLOPs/img, {stats['fps']:.1f} img/s "
            f"(median {lat['median_ms']:.2f} ms @ batch {batch})")
     return stats
-
-
-def profile_trace(fn: Callable, args, logdir: str = "/tmp/jax_trace"):
-    """Capture a profiler trace of one call (reference has no equivalent;
-    replaces MetricLogger's max-memory tracking with a real trace)."""
-    jitted = jax.jit(fn)
-    jitted(*args)  # compile first
-    with jax.profiler.trace(logdir):
-        out = jitted(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
-    return logdir

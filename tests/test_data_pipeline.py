@@ -137,6 +137,47 @@ def test_loader_workers_deterministic(coco_dir):
                 np.testing.assert_array_equal(b1[k], b4[k])
 
 
+def test_legacy_recipe_shapes_are_model_compatible(coco_dir):
+    """The legacy (non-square) recipe pads batches to 64-divisible extents:
+    the window-major ViT needs H,W % 64 == 0 (16-px patches x 4 windows per
+    side), and quantized pads bound the compiled shape set. Both train
+    (multi-scale+crop) and eval (800/1333) paths, verified through a real
+    model forward with the padding mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from lwdetr_tpu.config import ModelConfig
+    from lwdetr_tpu.models.lwdetr import build_model
+
+    ds = CocoDetection(os.path.join(coco_dir, "val2017"),
+                       os.path.join(coco_dir, "annotations/instances_val2017.json"))
+    nano = ModelConfig(
+        encoder="vit_tiny", vit_encoder_num_layers=2,
+        window_block_indexes=(0,), out_feature_indexes=(0, 1),
+        projector_scale=("P4",), hidden_dim=64, dim_feedforward=128,
+        sa_nheads=4, ca_nheads=8, dec_n_points=2, dec_layers=2,
+        group_detr=2, num_queries=12, num_select=10, num_classes=7,
+        two_stage=True, bbox_reparam=True, lite_refpoint_refine=True)
+    model = build_model(nano)
+
+    for train in (True, False):
+        loader = DetectionLoader(ds, batch_size=2, train=train, max_gt=10,
+                                 seed=7, square_div_64=False,
+                                 drop_last=False)
+        b = next(iter(loader))
+        H, W = b["images"].shape[1:3]
+        assert H % 64 == 0 and W % 64 == 0, (train, H, W)
+        assert "pad_mask" in b and b["pad_mask"].shape == (2, H, W)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(b["images"]), masks=jnp.asarray(b["pad_mask"]),
+        train=False)
+    out = model.apply(variables, jnp.asarray(b["images"]),
+                      masks=jnp.asarray(b["pad_mask"]), train=False)
+    assert np.isfinite(np.asarray(out["pred_logits"], np.float32)).all()
+
+
 def test_cheating_model_gets_ap1(coco_dir):
     """GT-echo model through loader+eval: validates coordinate round trip."""
     ds = CocoDetection(os.path.join(coco_dir, "val2017"),
