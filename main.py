@@ -390,7 +390,7 @@ def main(args):
             if args.output_dir and is_main_process():
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "ckpt"),
-                    int(np.asarray(state.step)), state)
+                    int(np.asarray(state.step)), state, block=True)
             print(f"preempted (signal {preempt['sig']}): checkpoint saved at "
                   f"step {int(np.asarray(state.step))}, exiting")
             return
