@@ -262,6 +262,9 @@ class CocoEvaluator:
             r = r[r > -1]
             return float(np.mean(r)) if r.size else -1.0
 
+        # retained for offline analysis dumps (reference main.py:402-411
+        # saves coco_eval['bbox'].eval to output_dir/eval/)
+        self.eval = {"precision": precision, "recall": recall}
         ai_all = list(AREA_RNG).index("all")
         stats = {
             "AP": _ap(ai_all, 2),

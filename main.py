@@ -338,10 +338,14 @@ def main(args):
                                 criterion=criterion)
     put = lambda b: shard_batch(mesh, b)
 
+    last_eval = {}
+
     def run_eval(params, batch_stats):
         evaluator = CocoEvaluator(ds_val.coco)
-        return evaluate(eval_step, params, batch_stats, val_loader, evaluator,
-                        put_fn=put)
+        stats = evaluate(eval_step, params, batch_stats, val_loader, evaluator,
+                         put_fn=put)
+        last_eval["evaluator"] = evaluator
+        return stats
 
     if args.eval:
         stats = run_eval(state.params, state.batch_stats)
@@ -412,6 +416,14 @@ def main(args):
                     state, keep=None)
 
         stats = run_eval(state.params, state.batch_stats)
+        if args.output_dir and is_main_process():
+            # precision/recall tensor dump for offline analysis
+            # (reference main.py:402-411 saves the eval dict per epoch)
+            ev = getattr(last_eval.get("evaluator"), "eval", None)
+            if ev:
+                edir = os.path.join(args.output_dir, "eval")
+                os.makedirs(edir, exist_ok=True)
+                np.savez(os.path.join(edir, "latest.npz"), epoch=epoch, **ev)
         record = {"epoch": epoch,
                   **{f"train_{k}": v for k, v in train_meters.items()},
                   **{f"test_{k}": v for k, v in stats.items()}}
