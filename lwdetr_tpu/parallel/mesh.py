@@ -59,3 +59,24 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def zero1_sharding_tree(mesh: Mesh, tree, min_size: int = 16384):
+    """ZeRO-1 placement for optimizer/EMA state: shard dim 0 of each large
+    leaf over the data axis, replicate the rest.
+
+    Under jit, GSPMD then reduce-scatters gradients into the sharded Adam
+    moments and all-gathers the parameter updates — the scaling-book
+    recipe, no step-code changes. Per-chip optimizer memory drops ~n_data x
+    (xlarge: ~1.9 GB of fp32 m/v/EMA replicated today). Leaves smaller than
+    `min_size` or with an indivisible dim 0 stay replicated (the collective
+    would cost more than the bytes saved)."""
+    n = mesh.shape[DATA_AXIS]
+
+    def spec_for(leaf):
+        if (getattr(leaf, "ndim", 0) >= 1 and leaf.size >= min_size
+                and leaf.shape[0] % n == 0):
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, tree)

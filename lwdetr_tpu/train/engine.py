@@ -55,14 +55,19 @@ def build_train_step(model: LWDETR, criterion: SetCriterion, tx,
                      ema_decay: float, use_ema: bool, vit_depth: int,
                      donate: bool = True,
                      static_zero_drop_path: bool = False,
-                     static_zero_dropout: bool = False):
+                     static_zero_dropout: bool = False,
+                     param_sharding=None):
     """Returns jitted train_step(state, batch, rng, drop_path_rate, dropout_rate).
 
     static_zero_drop_path / static_zero_dropout: set when the whole schedule
     is identically zero (all release configs for dropout; tiny/small/medium
     for drop-path) — the rates become trace-time constants and NO mask RNG
     enters the graph. A traced zero still generates threefry+bernoulli over
-    every activation (~25 ms/step at small@640 batch 8)."""
+    every activation (~25 ms/step at small@640 batch 8).
+
+    param_sharding: set (to the replicated NamedSharding) when the optimizer
+    state is ZeRO-1-sharded — pins the updated params back to replicated so
+    GSPMD all-gathers once at the step tail instead of re-sharding params."""
 
     def loss_fn(params, batch_stats, batch, rng, drop_path_rate, dropout_rate):
         dp_rates = (None if static_zero_drop_path
@@ -90,6 +95,9 @@ def build_train_step(model: LWDETR, criterion: SetCriterion, tx,
                 drop_path_rate, dropout_rate)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if param_sharding is not None:
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, param_sharding)
         ema = state.ema
         if use_ema:
             ema = ema_update(

@@ -59,6 +59,10 @@ def get_args_parser():
     p.add_argument("--grad_checkpointing", action="store_true",
                    help="remat encoder blocks (recompute activations in the "
                         "backward) for larger per-chip train batches")
+    p.add_argument("--shard_opt_state", action="store_true",
+                   help="ZeRO-1: shard optimizer moments + EMA over the "
+                        "data axis (multi-device; cuts per-chip optimizer "
+                        "memory ~n_devices x)")
     p.add_argument("--out_feature_indexes", default=[-1], type=int, nargs="+")
     # transformer
     p.add_argument("--dec_layers", default=3, type=int)
@@ -325,6 +329,17 @@ def main(args):
                 print(f"resumed from {args.resume} at step {int(np.asarray(state.step))}")
 
     state = jax.device_put(state, replicated(mesh))
+    if args.shard_opt_state and n_data > 1:
+        # ZeRO-1: optimizer moments + EMA shard over the data axis; GSPMD
+        # reduce-scatters grads into them and all-gathers the param update
+        from lwdetr_tpu.parallel.mesh import zero1_sharding_tree
+
+        state = state._replace(
+            opt_state=jax.device_put(
+                state.opt_state, zero1_sharding_tree(mesh, state.opt_state)),
+            ema=(jax.device_put(
+                state.ema, zero1_sharding_tree(mesh, state.ema))
+                if state.ema is not None else None))
 
     if is_main_process() and not args.dont_bench:
         benchmark_model(model, {"params": state.params,
@@ -365,7 +380,9 @@ def main(args):
         model, criterion, tx, ema_decay=tcfg.ema_decay, use_ema=tcfg.use_ema,
         vit_depth=mcfg.vit_encoder_num_layers,
         static_zero_drop_path=bool(np.all(dp_sched == 0)),
-        static_zero_dropout=bool(np.all(do_sched == 0)))
+        static_zero_dropout=bool(np.all(do_sched == 0)),
+        param_sharding=(replicated(mesh)
+                        if args.shard_opt_state and n_data > 1 else None))
 
     # preemption support (TPU pools send SIGTERM with a grace window):
     # finish the in-flight step, checkpoint, exit cleanly; resume is
@@ -395,6 +412,7 @@ def main(args):
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "ckpt"),
                     int(np.asarray(state.step)), state, block=True)
+            ckpt.wait_for_checkpoints()
             print(f"preempted (signal {preempt['sig']}): checkpoint saved at "
                   f"step {int(np.asarray(state.step))}, exiting")
             return
@@ -446,6 +464,9 @@ def main(args):
         record.update(best.summary())
         write_log_line(args.output_dir, record)
 
+    # drain in-flight async checkpoint writes while the interpreter can
+    # still spawn threads (atexit is too late for orbax's commit machinery)
+    ckpt.wait_for_checkpoints()
     total = time.time() - start
     print(f"Training time {datetime.timedelta(seconds=int(total))}")
 

@@ -195,6 +195,60 @@ def test_grad_checkpointing_same_params_and_grads():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_zero1_sharded_optimizer_state_multidevice():
+    """--shard_opt_state (ZeRO-1): Adam moments + EMA shard over the data
+    axis, params stay replicated, and the step's numbers match the fully
+    replicated run exactly."""
+    from lwdetr_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                          replicated, zero1_sharding_tree)
+
+    model = build_model(NANO)
+    criterion = SetCriterion(NANO, TCFG)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(np.random.default_rng(0), B=8)
+
+    mesh = make_mesh(n_data=8)
+    with mesh:
+        params0 = model.init({"params": rng, "dropout": rng},
+                             batch["images"], train=True)["params"]
+        tx = build_optimizer(params0, NANO, TCFG, niter_per_ep=10)
+        state = create_train_state(model, tx, rng, batch["images"],
+                                   use_ema=True)
+        state = jax.device_put(state, replicated(mesh))
+        sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+
+        step_repl = build_train_step(
+            model, criterion, tx, ema_decay=0.99, use_ema=True,
+            vit_depth=NANO.vit_encoder_num_layers, donate=False)
+        _, metrics_repl = step_repl(
+            state, sharded_batch, rng, jnp.float32(0.0), jnp.float32(0.0))
+
+        z1 = state._replace(
+            opt_state=jax.device_put(
+                state.opt_state, zero1_sharding_tree(
+                    mesh, state.opt_state, min_size=128)),
+            ema=jax.device_put(
+                state.ema, zero1_sharding_tree(mesh, state.ema,
+                                               min_size=128)))
+        step_z1 = build_train_step(
+            model, criterion, tx, ema_decay=0.99, use_ema=True,
+            vit_depth=NANO.vit_encoder_num_layers, donate=False,
+            param_sharding=replicated(mesh))
+        state2, metrics_z1 = step_z1(
+            z1, sharded_batch, rng, jnp.float32(0.0), jnp.float32(0.0))
+
+    np.testing.assert_allclose(float(metrics_repl["loss"]),
+                               float(metrics_z1["loss"]), rtol=1e-6)
+    # params replicated, at least one moment leaf actually sharded
+    assert jax.tree.leaves(state2.params)[0].sharding.is_fully_replicated
+    opt_leaves = [l for l in jax.tree.leaves(state2.opt_state)
+                  if getattr(l, "ndim", 0) >= 1 and l.size >= 128
+                  and l.shape[0] % 8 == 0]
+    assert opt_leaves and not opt_leaves[0].sharding.is_fully_replicated
+    shard_bytes = opt_leaves[0].addressable_shards[0].data.nbytes
+    assert shard_bytes * 8 == opt_leaves[0].nbytes  # 8x memory cut
+
+
 def test_sharded_eval_step_multidevice():
     """Inference path over the 8-device CPU mesh: batch-sharded forward +
     postprocess match the single-device result exactly (data-parallel
