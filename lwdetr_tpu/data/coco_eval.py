@@ -58,76 +58,109 @@ def iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-10)
 
 
-def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_crowd, gt_area, area_rng, max_det):
-    """Greedy matching for one (image, category, area-range, maxDet).
-
-    Returns dict with per-threshold dt matches/ignores and gt ignore mask,
-    mirroring pycocotools.cocoeval.COCOeval.evaluateImg.
-    """
-    T = len(IOU_THRS)
-    # gt ignore: crowd or outside area range
-    gt_ig = gt_crowd.astype(bool) | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-    # sort gt: non-ignored first (stable)
-    g_order = np.argsort(gt_ig, kind="stable")
-    gt_boxes = gt_boxes[g_order]
-    gt_ig = gt_ig[g_order]
-    gt_crowd_s = gt_crowd[g_order]
-
+def _prep_img(dt_boxes, dt_scores, gt_boxes, gt_crowd, gt_area, max_det):
+    """Area-range-independent per-(image, category) precompute: score-sorted
+    dts and the dt x gt IoU matrix (computed ONCE, like pycocotools'
+    computeIoU; the 4 area ranges reuse it)."""
     d_order = np.argsort(-dt_scores, kind="stable")[:max_det]
     dt_boxes_s = dt_boxes[d_order]
     dt_scores_s = dt_scores[d_order]
+    ious = iou_xywh(dt_boxes_s, gt_boxes, gt_crowd)
+    dt_area = dt_boxes_s[:, 2] * dt_boxes_s[:, 3]
+    return dt_boxes_s, dt_scores_s, dt_area, ious
 
-    ious = iou_xywh(dt_boxes_s, gt_boxes, gt_crowd_s)
 
-    D, G = len(dt_boxes_s), len(gt_boxes)
-    dt_m = -np.ones((T, D), np.int64)  # index of matched gt, -1 unmatched
-    gt_m = -np.ones((T, G), np.int64)
+def _evaluate_img(prep, gt_crowd, gt_area, area_items):
+    """Greedy matching for one (image, category) at the largest maxDet,
+    batched over ALL area ranges (smaller maxDets slice the result columns,
+    the A axis indexes area ranges).
+
+    Per-area semantics mirror pycocotools.cocoeval.COCOeval.evaluateImg;
+    batching the A=4 ranges into one (A*T, G) sweep amortizes the per-call
+    numpy overhead that dominated the per-(img, cat, area) formulation.
+    """
+    dt_boxes_s, dt_scores_s, dt_area, ious_raw = prep
+    T = len(IOU_THRS)
+    A = len(area_items)
+    D, G = len(dt_scores_s), len(gt_crowd)
+    crowd_b = gt_crowd.astype(bool)
+
+    # per-area gt ignore (crowd or out of range) + non-ignored-first sort
+    rngs = np.asarray([arng for _, arng in area_items])  # (A, 2)
+    gt_ig0 = (crowd_b[None] | (gt_area[None] < rngs[:, :1])
+              | (gt_area[None] > rngs[:, 1:]))           # (A, G)
+    if G:
+        orders = np.argsort(gt_ig0, axis=1, kind="stable")  # (A, G)
+        gt_ig = np.take_along_axis(gt_ig0, orders, axis=1)
+        crowd_s = crowd_b[orders]
+        ious = ious_raw[None][
+            np.zeros((A, 1, 1), np.intp),
+            np.arange(D)[None, :, None],
+            orders[:, None, :]]                          # (A, D, G)
+    else:
+        gt_ig = gt_ig0
+        crowd_s = np.zeros((A, 0), bool)
+        ious = np.zeros((A, D, 0))
+
+    dt_m = -np.ones((A, T, D), np.int64)  # matched gt index, -1 unmatched
+    gt_m = -np.ones((A, T, G), np.int64)
     if D and G:
-        # Greedy matching vectorized over the T IoU thresholds. Semantics
-        # (pycocotools evaluateImg): scan gts sorted non-ignored-first;
-        # a dt takes the max-IoU available gt with iou >= thr, LAST index
-        # winning ties (the scalar loop's `< best: continue` update rule);
-        # an ignored gt never displaces a non-ignored candidate (the scan
-        # breaks at the ignore boundary); matched non-crowd gts become
-        # unavailable, crowd gts can absorb any number of dts.
-        thr = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # (T, 1)
-        crowd = gt_crowd_s.astype(bool)
-        nonig = ~gt_ig
+        # Greedy matching vectorized over (area x T IoU thresholds).
+        # Semantics (pycocotools evaluateImg): scan gts sorted
+        # non-ignored-first; a dt takes the max-IoU available gt with
+        # iou >= thr, LAST index winning ties (the scalar loop's
+        # `< best: continue` update rule); an ignored gt never displaces a
+        # non-ignored candidate (the scan breaks at the ignore boundary);
+        # matched non-crowd gts become unavailable, crowd gts can absorb
+        # any number of dts.
+        thr = np.minimum(IOU_THRS, 1 - 1e-10)[None, :, None]  # (1, T, 1)
+        crowd3 = crowd_s[:, None, :]                          # (A, 1, G)
+        nonig3 = ~gt_ig[:, None, :]
+        ig3 = gt_ig[:, None, :]
         any_ig = bool(gt_ig.any())
-        t_idx = np.arange(T)
+        gt_m_flat = gt_m.reshape(A * T, G)
+        dt_m_flat = dt_m.reshape(A * T, D)
+        at_idx = np.arange(A * T)
 
         def _pick_last_max(cand, iou_d):
-            """(T, G) candidate mask -> (has (T,), m (T,)) last-argmax."""
-            masked = np.where(cand, iou_d[None], -np.inf)
-            best = masked.max(axis=1)
+            """(A, T, G) candidate mask -> (has, m), each (A, T)."""
+            masked = np.where(cand, iou_d[:, None, :], -np.inf)
+            best = masked.max(axis=2)
             has = best > -np.inf
-            m = (G - 1) - np.argmax(masked[:, ::-1] == best[:, None], axis=1)
+            m = (G - 1) - np.argmax(masked[:, :, ::-1] == best[:, :, None],
+                                    axis=2)
             return has, m
 
         for d in range(D):
-            iou_d = ious[d]
-            avail = (gt_m < 0) | crowd[None]
-            ok = iou_d[None] >= thr
-            has_n, m = _pick_last_max(avail & nonig[None] & ok, iou_d)
+            iou_d = ious[:, d]  # (A, G)
+            avail = (gt_m < 0) | crowd3
+            ok = iou_d[:, None, :] >= thr
+            has_n, m = _pick_last_max(avail & nonig3 & ok, iou_d)
             if any_ig:
-                has_i, m_i = _pick_last_max(avail & gt_ig[None] & ok, iou_d)
+                has_i, m_i = _pick_last_max(avail & ig3 & ok, iou_d)
                 m = np.where(has_n, m, np.where(has_i, m_i, -1))
             else:
                 m = np.where(has_n, m, -1)
-            hit = m >= 0
-            dt_m[hit, d] = m[hit]
-            gt_m[t_idx[hit], m[hit]] = d
+            mf = m.reshape(A * T)
+            hit = mf >= 0
+            dt_m_flat[hit, d] = mf[hit]
+            gt_m_flat[at_idx[hit], mf[hit]] = d
     # dt ignore: matched to ignored gt, or unmatched and dt area out of range
-    dt_area = dt_boxes_s[:, 2] * dt_boxes_s[:, 3]
-    a_out = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+    a_out = ((dt_area[None] < rngs[:, :1])
+             | (dt_area[None] > rngs[:, 1:]))            # (A, D)
     matched = dt_m >= 0
-    ig_of_match = np.take(np.append(gt_ig, False), dt_m)  # -1 -> sentinel
-    dt_ig = np.where(matched, ig_of_match, a_out[None])
+    if G:
+        ig_of_match = np.take_along_axis(
+            np.broadcast_to(gt_ig[:, None, :], (A, T, G)),
+            np.clip(dt_m, 0, G - 1), axis=2)  # -1 rows masked below
+    else:
+        ig_of_match = np.zeros(dt_m.shape, bool)
+    dt_ig = np.where(matched, ig_of_match, a_out[:, None, :])
     return {
         "dt_scores": dt_scores_s,
-        "dt_matched": dt_m >= 0,
-        "dt_ignore": dt_ig,
-        "n_gt": int((~gt_ig).sum()),
+        "dt_matched": matched,          # (A, T, D)
+        "dt_ignore": dt_ig,             # (A, T, D)
+        "n_gt": (~gt_ig).sum(axis=1),   # (A,)
     }
 
 
@@ -191,33 +224,36 @@ class CocoEvaluator:
         recall = -np.ones((T, K, A, M))
 
         for ki, cat in enumerate(self.cat_ids):
-            # gather per-image eval results once per (area, maxdet)
+            # per-(img, cat) precompute shared by all 4 area ranges: sorted
+            # dts + the IoU matrix (pycocotools computes IoU once likewise)
             per_img = []
             for img_id in img_ids:
                 gb, gc, ga = self._gts.get((img_id, cat), ([], [], []))
                 db, ds = self._dts.get((img_id, cat), ([], []))
                 if not gb and not db:
                     continue
-                per_img.append((
+                gc = np.asarray(gc, np.int64)
+                ga = np.asarray(ga, np.float64)
+                prep = _prep_img(
                     np.asarray(db, np.float64).reshape(-1, 4),
                     np.asarray(ds, np.float64),
                     np.asarray(gb, np.float64).reshape(-1, 4),
-                    np.asarray(gc, np.int64),
-                    np.asarray(ga, np.float64),
-                ))
+                    gc, ga, MAX_DETS[-1])
+                per_img.append((prep, gc, ga))
             if not per_img:
                 continue
+            # one matching per (img, cat) at maxDets[-1], batched over the 4
+            # area ranges; smaller maxDets slice the per-image dt columns
+            # (greedy matching is prefix-stable in score order — the match
+            # of detection i never depends on lower-scored detections),
+            # exactly as pycocotools' accumulate slices evaluateImg results
+            evals = [
+                _evaluate_img(prep, gc, ga, area_items)
+                for (prep, gc, ga) in per_img
+            ]
+            n_gt_a = np.sum([e["n_gt"] for e in evals], axis=0)  # (A,)
             for ai, (aname, arng) in enumerate(area_items):
-                # one matching per (img, cat, area) at maxDets[-1]; smaller
-                # maxDets slice the per-image dt columns (greedy matching is
-                # prefix-stable in score order — the match of detection i
-                # never depends on lower-scored detections), exactly as
-                # pycocotools' accumulate slices evaluateImg results
-                evals = [
-                    _evaluate_img(db, ds, gb, gc, ga, arng, MAX_DETS[-1])
-                    for (db, ds, gb, gc, ga) in per_img
-                ]
-                n_gt = sum(e["n_gt"] for e in evals)
+                n_gt = int(n_gt_a[ai])
                 if n_gt == 0:
                     continue
                 for mi, max_det in enumerate(MAX_DETS):
@@ -225,32 +261,37 @@ class CocoEvaluator:
                         [e["dt_scores"][:max_det] for e in evals])
                     order = np.argsort(-scores, kind="mergesort")
                     matched = np.concatenate(
-                        [e["dt_matched"][:, :max_det] for e in evals],
+                        [e["dt_matched"][ai, :, :max_det] for e in evals],
                         axis=1)[:, order]
                     ignored = np.concatenate(
-                        [e["dt_ignore"][:, :max_det] for e in evals],
+                        [e["dt_ignore"][ai, :, :max_det] for e in evals],
                         axis=1)[:, order]
 
                     tps = matched & ~ignored
                     fps = ~matched & ~ignored
                     tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
                     fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
-                    for ti in range(T):
-                        tp, fp = tp_sum[ti], fp_sum[ti]
-                        rc = tp / n_gt
-                        pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-                        recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
-                        # monotone precision envelope
-                        q = np.zeros(R)
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
-                        precision[ti, :, ki, ai, mi] = q
+                    n = tp_sum.shape[1]
+                    if n == 0:
+                        recall[:, ki, ai, mi] = 0.0
+                        precision[:, :, ki, ai, mi] = 0.0
+                        continue
+                    rc = tp_sum / n_gt                      # (T, n)
+                    pr = tp_sum / np.maximum(
+                        tp_sum + fp_sum, np.finfo(np.float64).eps)
+                    recall[:, ki, ai, mi] = rc[:, -1]
+                    # monotone precision envelope (right-to-left running max)
+                    env = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+                    # first index with rc >= REC_THRS, per threshold row
+                    inds = np.stack([np.searchsorted(rc[ti], REC_THRS, "left")
+                                     for ti in range(T)])  # (T, R)
+                    valid = inds < n
+                    q = np.where(
+                        valid,
+                        np.take_along_axis(
+                            env, np.minimum(inds, n - 1), axis=1),
+                        0.0)
+                    precision[:, :, ki, ai, mi] = q
 
         def _ap(ai, mi, ti=None):
             p = precision[:, :, :, ai, mi] if ti is None else precision[ti:ti + 1, :, :, ai, mi]
