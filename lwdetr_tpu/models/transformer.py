@@ -36,7 +36,10 @@ def _dropout(x, rate, deterministic: bool, rng):
     A CONCRETE rate of 0.0 (all release configs) skips mask generation
     entirely — a traced zero still emits threefry+bernoulli over the full
     activation, ~25 ms/step at small@640 batch 8."""
-    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
+    # static-zero check must also catch np.float32/np.float64 scalars
+    # (np.float64 passes isinstance(., float); np.float32 does not)
+    if deterministic or (not isinstance(rate, jax.core.Tracer)
+                         and float(rate) == 0.0):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape).astype(x.dtype)

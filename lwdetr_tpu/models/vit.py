@@ -49,7 +49,8 @@ def get_abs_pos(pos_embed: jnp.ndarray, has_cls_token: bool, hw: Tuple[int, int]
 def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> jnp.ndarray:
     """Per-sample stochastic depth; `rate` may be a traced scalar.
     A CONCRETE rate of 0.0 skips mask generation (no RNG in the graph)."""
-    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
+    if deterministic or (not isinstance(rate, jax.core.Tracer)
+                         and float(rate) == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
