@@ -28,18 +28,15 @@ from lwdetr_tpu.ops.deform_attn import (_sample_blocks, _sep_vmem_need,
                                         ms_deform_attn_sep,
                                         sampling_offsets_init_bias)
 from lwdetr_tpu.ops.embeddings import query_sine_embed
+from lwdetr_tpu.utils import is_static_zero
 
 
 def _dropout(x, rate, deterministic: bool, rng):
     """Dropout with a (possibly traced) rate.
 
     A CONCRETE rate of 0.0 (all release configs) skips mask generation
-    entirely — a traced zero still emits threefry+bernoulli over the full
-    activation, ~25 ms/step at small@640 batch 8."""
-    # static-zero check must also catch np.float32/np.float64 scalars
-    # (np.float64 passes isinstance(., float); np.float32 does not)
-    if deterministic or (not isinstance(rate, jax.core.Tracer)
-                         and float(rate) == 0.0):
+    entirely (see utils.is_static_zero)."""
+    if deterministic or is_static_zero(rate):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape).astype(x.dtype)
@@ -96,11 +93,7 @@ class MultiheadSelfAttention(nn.Module):
         ik = in_kernel.astype(self.dtype)
         ib = in_bias.astype(self.dtype)
 
-        # static-zero test must also catch np.float32/jnp scalar zeros from
-        # config plumbing — only a Tracer keeps the (slower) dropout path
-        no_drop = deterministic or (
-            not isinstance(dropout_rate, jax.core.Tracer)
-            and float(dropout_rate) == 0.0)
+        no_drop = deterministic or is_static_zero(dropout_rate)
         if (jax.default_backend() == "tpu" and no_drop
                 and q.shape[1] == k.shape[1]):
             # channel-major sandwich into the fused Pallas attention (see

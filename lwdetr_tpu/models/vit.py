@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lwdetr_tpu.ops.resize import bicubic_resize_2d
+from lwdetr_tpu.utils import is_static_zero
 
 NUM_WINDOWS_SIDE = 4  # fixed 4x4 = 16 windows (reference vit.py:353-358)
 
@@ -49,8 +50,7 @@ def get_abs_pos(pos_embed: jnp.ndarray, has_cls_token: bool, hw: Tuple[int, int]
 def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, deterministic: bool, rng) -> jnp.ndarray:
     """Per-sample stochastic depth; `rate` may be a traced scalar.
     A CONCRETE rate of 0.0 skips mask generation (no RNG in the graph)."""
-    if deterministic or (not isinstance(rate, jax.core.Tracer)
-                         and float(rate) == 0.0):
+    if deterministic or is_static_zero(rate):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)

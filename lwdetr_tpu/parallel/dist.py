@@ -17,11 +17,46 @@ from typing import Any, Optional
 import numpy as np
 
 
+def _multiprocess_env_detected(env) -> bool:
+    """True when the environment carries signals of a multi-process launch
+    that jax.distributed.initialize() can auto-detect (the reference
+    auto-detects env:// RANK/WORLD_SIZE and SLURM, util/misc.py:417-439)."""
+    if env.get("LWDETR_DIST") == "1":
+        return True
+    # SLURM multi-task launch (JAX has a built-in SLURM cluster detector)
+    if int(env.get("SLURM_NTASKS", "1") or 1) > 1:
+        return True
+    # torch.distributed-style env:// rendezvous vars
+    if int(env.get("WORLD_SIZE", "1") or 1) > 1:
+        return True
+    # TPU pod / megascale signals (multiple workers in the slice)
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    return False
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
-    """Initialize multi-host JAX. No-op when single-process (the reference
-    prints 'Not using distributed mode', main path misc.py:421-426)."""
+    """Initialize multi-host JAX.
+
+    Resolution order (mirrors the reference's env:// + SLURM auto-detect,
+    /root/reference/util/misc.py:417-439):
+
+    1. explicit args / COORDINATOR_ADDRESS + NUM_PROCESSES + PROCESS_ID env
+       vars -> explicit jax.distributed.initialize(...);
+    2. a detectable multi-process launch (SLURM_NTASKS>1, WORLD_SIZE>1,
+       multi-worker TPU slice, or LWDETR_DIST=1) -> argument-free
+       jax.distributed.initialize(), which auto-detects TPU pods and SLURM;
+    3. otherwise single-process no-op (the reference prints 'Not using
+       distributed mode', misc.py:421-426).
+
+    The auto path never runs on a plainly single-process launch, so CPU test
+    environments and single-chip runs are unaffected.
+    """
     import jax
 
     env = os.environ
@@ -36,6 +71,14 @@ def init_distributed(coordinator: Optional[str] = None,
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id)
+    elif _multiprocess_env_detected(env):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # auto-detect failed: surface, don't die
+            builtins.print(
+                f"init_distributed: auto-detect failed ({e}); "
+                "falling back to single-process. Set COORDINATOR_ADDRESS/"
+                "NUM_PROCESSES/PROCESS_ID to initialize explicitly.")
     return jax.process_index(), jax.process_count()
 
 
