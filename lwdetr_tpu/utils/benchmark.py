@@ -56,8 +56,11 @@ def measure_latency(fn: Callable, args, warmup: int = 5, iters: int = 20) -> Dic
 
 def benchmark_model(model, variables, image_size: int = 640, batch: int = 1,
                     logger=print) -> Dict[str, float]:
-    """Startup self-benchmark: params / GFLOPs / fps
-    (reference util/benchmark.py:586-629, run at main.py:263-268)."""
+    """Startup self-benchmark: params / GFLOPs / fps + per-op breakdown
+    (reference util/benchmark.py:586-629 ``benchmark`` with its
+    ``detailed_flops`` per-op-class dict, run at main.py:263-268)."""
+    from lwdetr_tpu.utils.hlo_report import detailed_flops, format_report
+
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(variables["params"]))
     images = jnp.zeros((batch, image_size, image_size, 3), jnp.float32)
@@ -65,15 +68,25 @@ def benchmark_model(model, variables, image_size: int = 640, batch: int = 1,
     def fwd(v, x):
         return model.apply(v, x, train=False)["pred_boxes"]
 
-    flops = flops_of(fwd, variables, images)
+    compiled = jax.jit(fwd).lower(variables, images).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        flops = None
+    report = detailed_flops(fwd, compiled=compiled)
     lat = measure_latency(fwd, (variables, images))
     stats = {
         "n_parameters": n_params,
         "gflops": (flops / 1e9 / batch) if flops else float("nan"),
         "fps": 1000.0 / lat["median_ms"] * batch,
+        "detailed_flops": report["flops_by_op"],
         **lat,
     }
     logger(f"benchmark: {n_params/1e6:.1f}M params, "
            f"{stats['gflops']:.1f} GFLOPs/img, {stats['fps']:.1f} img/s "
            f"(median {lat['median_ms']:.2f} ms @ batch {batch})")
+    logger(format_report(report))
     return stats

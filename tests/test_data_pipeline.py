@@ -137,6 +137,7 @@ def test_loader_workers_deterministic(coco_dir):
                 np.testing.assert_array_equal(b1[k], b4[k])
 
 
+@pytest.mark.slow
 def test_legacy_recipe_shapes_are_model_compatible(coco_dir):
     """The legacy (non-square) recipe pads batches to 64-divisible extents:
     the window-major ViT needs H,W % 64 == 0 (16-px patches x 4 windows per

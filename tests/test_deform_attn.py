@@ -320,6 +320,7 @@ def test_separable_kernel_parity_wide_level():
                                    rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_separable_kernel_parity_4points_2levels():
     """The large/xlarge decoder shape class (n_points=4, two levels, P3+P5
     aspect): exercises the point-stacked mask panels in fwd AND bwd."""

@@ -3,6 +3,7 @@
 deploy/benchmark.py:555-583 — here exact output equality is testable)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from lwdetr_tpu.config import ModelConfig
@@ -18,6 +19,7 @@ NANO = ModelConfig(
     two_stage=True, bbox_reparam=True, lite_refpoint_refine=True)
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     model = build_model(NANO)
     images = np.random.default_rng(0).standard_normal(

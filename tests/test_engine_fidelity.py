@@ -114,6 +114,7 @@ def _eval_batch():
     return batch
 
 
+@pytest.mark.slow
 def test_evaluate_reports_losses_and_merges():
     from lwdetr_tpu.models.lwdetr import build_model
 
@@ -151,6 +152,7 @@ def test_evaluate_without_criterion_has_no_loss_keys():
     assert set(stats) == {"AP"}
 
 
+@pytest.mark.slow
 def test_load_orbax_variables_for_inference(tmp_path):
     """demo.py loads inference weights straight from a native orbax
     train-state dir (regular or EMA) without rebuilding the optimizer."""

@@ -1,0 +1,89 @@
+"""Per-op HLO FLOP report (utils/hlo_report.py).
+
+Counterpart of the reference's hand-written aten flop handlers
+(/root/reference/util/benchmark.py:40-180: conv/matmul/einsum handlers,
+validated there by construction).  Here the parser is validated against
+analytically known FLOP counts of jitted conv/dot programs, including
+batch dims and grouped convolutions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lwdetr_tpu.utils.hlo_report import detailed_flops, parse_hlo_flops
+
+
+def _report(fn, *args):
+    return detailed_flops(fn, *args)
+
+
+def test_dot_flops_exact():
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((64, 128), jnp.float32)
+    b = jnp.ones((128, 32), jnp.float32)
+    r = _report(f, a, b)
+    assert abs(r["flops_by_op"]["dot"] - 2 * 64 * 128 * 32) < 1
+
+
+def test_batched_dot_flops_exact():
+    def f(a, b):
+        return jnp.einsum("bij,bjk->bik", a, b)
+
+    a = jnp.ones((4, 16, 32), jnp.float32)
+    b = jnp.ones((4, 32, 8), jnp.float32)
+    r = _report(f, a, b)
+    # batch dims multiply through the output shape; contraction is j=32
+    assert abs(r["flops_by_op"]["dot"] - 2 * 4 * 16 * 8 * 32) < 1
+
+
+def test_conv_flops_exact():
+    def f(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x = jnp.ones((2, 16, 16, 8), jnp.float32)
+    k = jnp.ones((3, 3, 8, 4), jnp.float32)
+    r = _report(f, x, k)
+    # out 2x14x14x4, per output: 3*3*8 MACs
+    assert abs(r["flops_by_op"]["convolution"]
+               - 2 * 2 * 14 * 14 * 4 * 3 * 3 * 8) < 1
+
+
+def test_grouped_conv_flops_exact():
+    def f(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", feature_group_count=4,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x = jnp.ones((1, 8, 8, 16), jnp.float32)
+    k = jnp.ones((3, 3, 4, 8), jnp.float32)  # i = 16/4 groups
+    r = _report(f, x, k)
+    # out 1x6x6x8; per output: 3*3*4 MACs (kernel 'i' is per-group C_in)
+    assert abs(r["flops_by_op"]["convolution"]
+               - 2 * 1 * 6 * 6 * 8 * 3 * 3 * 4) < 1
+
+
+def test_coverage_and_stage_attribution():
+    def f(x, w, k):
+        y = jax.lax.conv_general_dilated(
+            x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        z = jnp.einsum("bhwc,cd->bhwd", y, w)
+        return jax.nn.relu(z).sum()
+
+    x = jnp.ones((2, 32, 32, 8))
+    w = jnp.ones((16, 24))
+    k = jnp.ones((3, 3, 8, 16))
+    r = _report(f, x, w, k)
+    # parsed dot+conv should be within 15% of XLA's own total (the delta is
+    # padding accounting + non-matmul FLOPs)
+    assert r["coverage"] is not None and 0.85 < r["coverage"] < 1.15
+    assert r["flops_by_stage"], "stage table empty"
+    assert sum(r["flops_by_stage"].values()) == sum(r["flops_by_op"].values())
+
+
+def test_parser_tolerates_unknown_lines():
+    r = parse_hlo_flops("garbage\n%x = f32[2,2]{1,0} add(%a, %b)\n")
+    assert r["flops_by_op"] == {}
+    assert r["counts_by_op"]["add"] == 1

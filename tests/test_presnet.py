@@ -11,6 +11,7 @@ from lwdetr_tpu.config import ModelConfig
 from lwdetr_tpu.models.presnet import PResNet
 
 
+@pytest.mark.slow
 def test_res18vd_feature_shapes():
     m = PResNet(depth=18, return_idx=(1, 2, 3), freeze_norm=False)
     x = jnp.zeros((1, 128, 128, 3))
@@ -27,6 +28,7 @@ def test_res50vd_bottleneck_channels():
     assert m.out_channels == [4 * (128 + 256 + 512)]
 
 
+@pytest.mark.slow
 def test_lwdetr_with_resnet_backbone():
     cfg = ModelConfig(
         encoder="res18vd", projector_scale=("P4",), hidden_dim=64,

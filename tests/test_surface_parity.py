@@ -60,6 +60,7 @@ def test_o365_dataset_loads(o365_dir):
     assert batch["valid"][:, 0].all()
 
 
+@pytest.mark.slow
 def test_o365_eval_e2e(o365_dir, tmp_path):
     """Full CLI path on the o365 layout: build_dataset('o365') -> loader ->
     jitted eval (incl. criterion losses) -> evaluator. The pretrain

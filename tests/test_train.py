@@ -49,6 +49,7 @@ def synthetic_batch(rng, B=2, size=128, max_gt=8):
     }
 
 
+@pytest.mark.slow
 def test_loss_decreases_and_ema_tracks():
     model = build_model(NANO)
     criterion = SetCriterion(NANO, TCFG)
@@ -128,6 +129,7 @@ def test_drop_scheduler_modes():
     assert (s[:20] == 0).all() and (s[20:] == np.float32(0.1)).all()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_multidevice():
     """Full train step over the 8-device CPU mesh (data-parallel pjit)."""
     from lwdetr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
@@ -157,6 +159,7 @@ def test_sharded_train_step_multidevice():
         assert p.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_grad_checkpointing_same_params_and_grads():
     """--grad_checkpointing remats the encoder blocks: identical param tree
     (the checkpoint bridge is unaffected) and identical loss/grads — remat
@@ -195,6 +198,7 @@ def test_grad_checkpointing_same_params_and_grads():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_zero1_sharded_optimizer_state_multidevice():
     """--shard_opt_state (ZeRO-1): Adam moments + EMA shard over the data
     axis, params stay replicated, and the step's numbers match the fully
@@ -249,6 +253,7 @@ def test_zero1_sharded_optimizer_state_multidevice():
     assert shard_bytes * 8 == opt_leaves[0].nbytes  # 8x memory cut
 
 
+@pytest.mark.slow
 def test_sharded_eval_step_multidevice():
     """Inference path over the 8-device CPU mesh: batch-sharded forward +
     postprocess match the single-device result exactly (data-parallel
