@@ -137,7 +137,9 @@ class _UpSample4x(nn.Module):
         x = nn.ConvTranspose(self.in_dim // 2, kernel_size=(2, 2), strides=(2, 2),
                              dtype=self.dtype, name="up1")(x)
         x = ChannelLayerNorm(dtype=self.dtype, name="ln")(x)
-        x = nn.gelu(x, approximate=False)
+        # same dtype gate as vit.Mlp: tanh-gelu is sub-ulp-accurate in bf16
+        # and much cheaper than XLA's erf expansion; f32 parity keeps erf
+        x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = nn.ConvTranspose(self.in_dim // 4, kernel_size=(2, 2), strides=(2, 2),
                              dtype=self.dtype, name="up2")(x)
         return x

@@ -90,13 +90,21 @@ class Attention(nn.Module):
         else:
             qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * C,), jnp.float32)
 
+        # fold the softmax scale into the q projection (an O(C^2) weight
+        # multiply at trace time): the in-kernel s*scale elementwise pass
+        # over every (blk_q, N) score tile is pure exposed VPU latency
+        fold = jnp.concatenate(
+            [jnp.full((C,), scale), jnp.ones((2 * C,))]).astype(jnp.float32)
+        qkv_kernel = qkv_kernel * fold[None, :]
+        qkv_bias = qkv_bias * fold
+
         # channel-major attention sandwich: the qkv GEMM writes (B, 3C, N)
         # natively and the out-proj GEMM reads (B, C, N) natively, so the
         # whole attention runs with ZERO layout copies; per-head panels are
         # sublane blocks inside the Pallas kernel (see attention_cm)
         qkv_t = jnp.einsum("bnc,cz->bzn", x, qkv_kernel.astype(self.dtype))
         qkv_t = qkv_t + qkv_bias.astype(self.dtype)[:, None]
-        out_t = attention_cm(qkv_t, self.num_heads, scale=scale,
+        out_t = attention_cm(qkv_t, self.num_heads, scale=1.0,
                              use_pallas=self.use_flash)
         out = DenseCM(C, dtype=self.dtype, name="proj")(out_t)
         return out
@@ -132,7 +140,11 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1",
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
+        # torch nn.GELU is exact erf; in bf16 the tanh approximation is within
+        # one bf16 ulp of erf-gelu everywhere and XLA's erf expansion costs
+        # ~2.7x the whole MLP fusion on TPU (0.86 vs 0.32 ms at small/b32),
+        # so bf16 compute uses tanh and f32 (the parity dtype) keeps erf.
+        x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2",
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
         return x

@@ -47,14 +47,17 @@ def _attn_cm_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     s = jax.lax.dot_general(
         q_ref[...], k_ref[...], (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (g, blk_q, N)
-    s = s * scale
+    if scale != 1.0:  # callers fold scale into q upstream when they can
+        s = s * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v_ref.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        v_ref[...], p, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    l = jnp.sum(p, axis=-1)  # (g, blk_q)
+    # normalize AFTER the PV matmul: one (g, D, blk_q) divide instead of a
+    # (g, blk_q, N) one — the softmax VPU chain is the exposed latency here
+    o = jax.lax.dot_general(
+        v_ref[...], p.astype(v_ref.dtype), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (g, D, blk_q)
+    o_ref[...] = (o / l[:, None, :]).astype(o_ref.dtype)
 
 
 def _attn_cm_allheads_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
@@ -73,14 +76,16 @@ def _attn_cm_allheads_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # (g, Nq, Nk)
-        s = s * scale
+        if scale != 1.0:
+            s = s * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / l).astype(v.dtype)
-        o_ref[:, h * D:(h + 1) * D, :] = jax.lax.dot_general(
-            v, p, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        l = jnp.sum(p, axis=-1)  # (g, Nq)
+        o = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (g, D, Nq)
+        o_ref[:, h * D:(h + 1) * D, :] = (
+            o / l[:, None, :]).astype(o_ref.dtype)
 
 
 def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
