@@ -73,7 +73,8 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 out_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         from lwdetr_tpu.ops.flash_attention import attention_cm
 
         B, N, C = x.shape
@@ -103,10 +104,13 @@ class Attention(nn.Module):
         # whole attention runs with ZERO layout copies; per-head panels are
         # sublane blocks inside the Pallas kernel (see attention_cm)
         qkv_t = jnp.einsum("bnc,cz->bzn", x, qkv_kernel.astype(self.dtype))
-        qkv_t = qkv_t + qkv_bias.astype(self.dtype)[:, None]
         out_t = attention_cm(qkv_t, self.num_heads, scale=1.0,
-                             use_pallas=self.use_flash)
-        out = DenseCM(C, dtype=self.dtype, name="proj")(out_t)
+                             use_pallas=self.use_flash, bias=qkv_bias)
+        # CAE layer-scale folds into the out-projection (gamma*(xW+b) =
+        # x(W*gamma) + b*gamma) — the standalone (B, N, C) multiply is an
+        # unfused HBM pass at eval
+        out = DenseCM(C, dtype=self.dtype, name="proj",
+                      out_scale=out_scale)(out_t)
         return out
 
 
@@ -118,6 +122,7 @@ class DenseCM(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(0.02)
+    out_scale: Optional[jnp.ndarray] = None
 
     @nn.compact
     def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
@@ -126,9 +131,32 @@ class DenseCM(nn.Module):
                             (c_in, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        if self.out_scale is not None:
+            kernel = kernel * self.out_scale[None, :]
+            bias = bias * self.out_scale
         out = jnp.einsum("cz,bcn->bnz", kernel.astype(self.dtype),
                          x_t.astype(self.dtype))
         return out + bias.astype(self.dtype)
+
+
+class DenseFolded(nn.Module):
+    """nn.Dense (same param names/shapes) with an optional (features,)
+    output scale folded into kernel and bias at trace time."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    out_scale: Optional[jnp.ndarray] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.truncated_normal(0.02),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if self.out_scale is not None:
+            kernel = kernel * self.out_scale[None, :]
+            bias = bias * self.out_scale
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class Mlp(nn.Module):
@@ -137,7 +165,8 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 out_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1",
                      kernel_init=nn.initializers.truncated_normal(0.02))(x)
         # torch nn.GELU is exact erf; in bf16 the tanh approximation is within
@@ -145,9 +174,9 @@ class Mlp(nn.Module):
         # ~2.7x the whole MLP fusion on TPU (0.86 vs 0.32 ms at small/b32),
         # so bf16 compute uses tanh and f32 (the parity dtype) keeps erf.
         x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2",
-                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
-        return x
+        # CAE layer-scale folded into fc2 (see DenseCM.out_scale)
+        return DenseFolded(self.dim, dtype=self.dtype, name="fc2",
+                           out_scale=out_scale)(x)
 
 
 class Block(nn.Module):
@@ -168,11 +197,13 @@ class Block(nn.Module):
         if not self.window:
             h = h.reshape(Bw // 16, 16 * HW, C)
 
-        h = Attention(self.dim, self.num_heads, use_cae=self.use_cae,
-                      dtype=self.dtype, name="attn")(h)
+        gamma_1 = gamma_2 = None
         if self.use_cae:
             gamma_1 = self.param("gamma_1", nn.initializers.constant(0.1), (C,), jnp.float32)
-            h = gamma_1.astype(self.dtype) * h
+            gamma_2 = self.param("gamma_2", nn.initializers.constant(0.1), (C,), jnp.float32)
+
+        h = Attention(self.dim, self.num_heads, use_cae=self.use_cae,
+                      dtype=self.dtype, name="attn")(h, out_scale=gamma_1)
 
         if not self.window:
             h = h.reshape(Bw, HW, C)
@@ -182,10 +213,8 @@ class Block(nn.Module):
         x = shortcut + h
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
-        if self.use_cae:
-            gamma_2 = self.param("gamma_2", nn.initializers.constant(0.1), (C,), jnp.float32)
-            h = gamma_2.astype(self.dtype) * h
+        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                name="mlp")(h, out_scale=gamma_2)
         if not deterministic:
             h = _drop_path(h, drop_path_rate, deterministic, self.make_rng("dropout"))
         return x + h

@@ -60,19 +60,16 @@ def _attn_cm_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[...] = (o / l[:, None, :]).astype(o_ref.dtype)
 
 
-def _attn_cm_allheads_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
-    # qkv_ref (g, 3C, N); o_ref (g, C, N).  All heads of g images per
-    # program: the qkv DMA is one CONTIGUOUS (3C, N) panel per image
-    # (the per-head (D, N) blocks of the grid-over-heads kernel are 3.2 KB
-    # strided strips at N=100 — DMA-bound at ~140 GB/s).  Heads are static
-    # sublane slices; per-head matmuls batch over g on the MXU.
-    g, ZC, N = qkv_ref.shape
+def _allheads_body(qkv, o_ref, num_heads: int, scale: float):
+    # qkv (g, 3C, N) array; o_ref (g, C, N).  Heads are static sublane
+    # slices; per-head matmuls batch over g on the MXU.
+    g, ZC, N = qkv.shape
     C = ZC // 3
     D = C // num_heads
     for h in range(num_heads):
-        q = qkv_ref[:, h * D:(h + 1) * D, :]            # (g, D, N)
-        k = qkv_ref[:, C + h * D:C + (h + 1) * D, :]
-        v = qkv_ref[:, 2 * C + h * D:2 * C + (h + 1) * D, :]
+        q = qkv[:, h * D:(h + 1) * D, :]                # (g, D, N)
+        k = qkv[:, C + h * D:C + (h + 1) * D, :]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # (g, Nq, Nk)
@@ -86,6 +83,22 @@ def _attn_cm_allheads_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
             preferred_element_type=jnp.float32)          # (g, D, Nq)
         o_ref[:, h * D:(h + 1) * D, :] = (
             o / l[:, None, :]).astype(o_ref.dtype)
+
+
+def _attn_cm_allheads_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+    # qkv_ref (g, 3C, N): one CONTIGUOUS (3C, N) panel DMA per image
+    # (the per-head (D, N) blocks of the grid-over-heads kernel are 3.2 KB
+    # strided strips at N=100 — DMA-bound at ~140 GB/s).
+    _allheads_body(qkv_ref[...], o_ref, num_heads, scale)
+
+
+def _attn_cm_allheads_bias_kernel(qkv_ref, b_ref, o_ref, *, num_heads: int,
+                                  scale: float):
+    # bias-fused variant: the (3C,) qkv bias is added on the VMEM panel,
+    # saving the standalone (B, 3C, N) HBM add pass the XLA graph would
+    # otherwise run between the qkv GEMM and this kernel.
+    qkv = qkv_ref[...] + b_ref[...][None, :, :].astype(qkv_ref.dtype)
+    _allheads_body(qkv, o_ref, num_heads, scale)
 
 
 def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
@@ -132,7 +145,8 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
 
     # q lane-block: Mosaic pads the ragged tail block internally; K/V
     # panels span the full (unpadded) N so no masking is ever needed.
-    blk_q = min(_round_up(N, 128), 128)
+    import os as _os
+    blk_q = min(_round_up(N, 128), int(_os.environ.get("ATTN_BLKQ", 128)))
     n_q = (N + blk_q - 1) // blk_q
 
     # batch g images per program: amortizes grid overhead for windows AND
@@ -141,6 +155,8 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
     n_r = _round_up(N, 128)
     per_slice = 6 * blk_q * n_r + 4 * max(D, 8) * n_r * 4
     g = max(1, min(16, budget // max(per_slice, 1)))
+    if _os.environ.get("ATTN_G"):
+        g = int(_os.environ["ATTN_G"])
     while B % g:
         g -= 1
 
@@ -188,6 +204,67 @@ def _xla_sdpa_cm(qkv_t, num_heads, scale):
     v = qkv_t[:, 2 * C:].reshape(B, num_heads, D, N).transpose(0, 3, 1, 2)
     out = _xla_sdpa(q, k, v, scale)  # (B, N, H, D)
     return out.transpose(0, 2, 3, 1).reshape(B, C, N)
+
+
+def _attn_cm_allheads_bias_call(qkv_t, bias2d, num_heads, scale, interpret):
+    B, ZC, N = qkv_t.shape
+    C = ZC // 3
+    panel = ZC * N * qkv_t.dtype.itemsize
+    g = max(1, min(16, (4 * 1024 * 1024) // max(panel, 1)))
+    while B % g:
+        g -= 1
+    return pl.pallas_call(
+        functools.partial(_attn_cm_allheads_bias_kernel, num_heads=num_heads,
+                          scale=scale),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, ZC, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((ZC, 1), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g, C, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, N), qkv_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * N * N * (C // num_heads),
+            bytes_accessed=4 * B * ZC * N * qkv_t.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_t, bias2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _attn_cm_bias_diff(qkv_t, bias2d, num_heads, scale, interpret):
+    return _attn_cm_allheads_bias_call(qkv_t, bias2d, num_heads, scale,
+                                       interpret)
+
+
+def _attn_cm_bias_fwd(qkv_t, bias2d, num_heads, scale, interpret):
+    out = _attn_cm_allheads_bias_call(qkv_t, bias2d, num_heads, scale,
+                                      interpret)
+    return out, (qkv_t, bias2d)
+
+
+def _attn_cm_bias_bwd(num_heads, scale, interpret, res, g):
+    qkv_t, bias2d = res
+    # materialize qkv+bias once for the backward recompute; the fusion only
+    # needs to win on the forward/eval path
+    qkvb = qkv_t + bias2d[None, :, :].astype(qkv_t.dtype)
+    if interpret or jax.default_backend() == "tpu":
+        dqkv = _attn_cm_bwd_pallas(qkvb, g, num_heads, scale, interpret)
+    else:
+        dqkv = None
+    if dqkv is None:
+        _, vjp = jax.vjp(lambda t: _xla_sdpa_cm(t, num_heads, scale), qkvb)
+        (dqkv,) = vjp(g)
+    dbias = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 2),
+                    keepdims=False)[:, None].astype(bias2d.dtype)
+    return dqkv, dbias
+
+
+_attn_cm_bias_diff.defvjp(_attn_cm_bias_fwd, _attn_cm_bias_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -438,15 +515,29 @@ _attn_cm_diff.defvjp(_attn_cm_fwd, _attn_cm_bwd)
 
 
 def attention_cm(qkv_t, num_heads: int, scale: Optional[float] = None,
-                 use_pallas: bool = True, interpret: bool = False):
-    """Fused attention over channel-major packed qkv (B, 3*C, N) -> (B, C, N)."""
+                 use_pallas: bool = True, interpret: bool = False,
+                 bias: Optional[jnp.ndarray] = None):
+    """Fused attention over channel-major packed qkv (B, 3*C, N) -> (B, C, N).
+
+    `bias` is an optional (3C,) qkv bias.  On the short-sequence (window)
+    kernel it is added on the VMEM panel inside the kernel — the standalone
+    (B, 3C, N) add costs a full HBM round trip per block (~0.12 ms x 6
+    window blocks at small@640 b32).  Longer sequences add it inline (XLA
+    fuses it into the qkv GEMM epilogue there)."""
     B, ZC, N = qkv_t.shape
     assert ZC % (3 * num_heads) == 0
     if scale is None:
         scale = 1.0 / math.sqrt(ZC // 3 // num_heads)
     on_tpu = jax.default_backend() == "tpu"
     if interpret or (use_pallas and on_tpu):
+        if bias is not None and N <= 128:
+            return _attn_cm_bias_diff(qkv_t, bias[:, None].astype(jnp.float32),
+                                      num_heads, scale, interpret)
+        if bias is not None:
+            qkv_t = qkv_t + bias.astype(qkv_t.dtype)[:, None]
         return _attn_cm_diff(qkv_t, num_heads, scale, interpret)
+    if bias is not None:
+        qkv_t = qkv_t + bias.astype(qkv_t.dtype)[:, None]
     return _xla_sdpa_cm(qkv_t, num_heads, scale)
 
 
