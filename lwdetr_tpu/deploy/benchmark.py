@@ -31,7 +31,16 @@ def measure(call, weights, input_hw, batch: int = 1, repeats: int = 10,
         np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
         times.append((time.perf_counter() - t0) * 1e3)
     t = np.asarray(times)
+    # pipelined: dispatch all repeats back-to-back, fetch once — removes the
+    # per-call host/tunnel round trip, approximating pure device latency
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = call(weights, images)
+    np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+    pipelined = (time.perf_counter() - t0) * 1e3 / repeats
     return {"mean_ms": float(t.mean()), "median_ms": float(np.median(t)),
+            "pipelined_ms": float(pipelined),
+            "dispatch_overhead_ms": float(np.median(t) - pipelined),
             "imgs_per_s": 1000.0 * batch / float(np.median(t))}
 
 

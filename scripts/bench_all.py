@@ -56,14 +56,40 @@ def bench_size(size: str, batch: int) -> dict:
         return (time.perf_counter() - t0) / n
 
     dt = timed(jax.device_put(jnp.asarray(images_np, jnp.bfloat16)), 10)
-    # batch-1 latency: the reference table's column (TRT fp16 single image)
-    dt1 = timed(jax.device_put(jnp.asarray(images_np[:1], jnp.bfloat16)), 20)
+    # batch-1 latency: the reference table's column (TRT fp16 single image).
+    # bs1_ms = per-dispatch wall (includes the host->device tunnel RPC);
+    # bs1_device_ms = pure on-device latency via a K-deep in-jit chain where
+    # each forward consumes a zero-valued function of the previous output
+    # (no dispatch between iterations); the difference is the itemized
+    # dispatch overhead of this setup.
+    img1 = jax.device_put(jnp.asarray(images_np[:1], jnp.bfloat16))
+    dt1 = timed(img1, 20)
+
+    K = 20
+
+    @jax.jit
+    def chain(variables, img):
+        def step(c, _):
+            scores, _, _ = fwd(variables, c)
+            return c + (jnp.sum(scores) * 0).astype(c.dtype), None
+        out, _ = jax.lax.scan(step, img, None, length=K)
+        return jnp.sum(out.astype(jnp.float32))
+
+    jax.device_get(chain(variables, img1))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = chain(variables, img1)
+    jax.device_get(out)
+    dt1_dev = (time.perf_counter() - t0) / 3 / K
+
     return {
         "metric": f"lwdetr_{size}_640_bf16_infer_throughput",
         "value": round(batch / dt, 2),
         "unit": "img/s/chip",
         "batch_ms": round(dt * 1000, 2),
         "bs1_ms": round(dt1 * 1000, 2),
+        "bs1_device_ms": round(dt1_dev * 1000, 2),
+        "bs1_dispatch_overhead_ms": round((dt1 - dt1_dev) * 1000, 2),
         "ref_trt_fp16_ms_bs1": BASELINE_TRT_MS[size],
     }
 
