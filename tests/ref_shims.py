@@ -151,15 +151,44 @@ def install_shims() -> None:
     pct.mask = pct_mask
 
 
-def import_reference():
-    """Install shims, path in the reference tree, return its modules."""
-    install_shims()
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    import main as ref_main  # noqa: F401  (argparse defaults)
-    import models as ref_models
+# Top-level module names the reference tree claims. Importing them naively
+# would shadow the repo's own `main` (and any future top-level collisions)
+# in sys.modules for the rest of the pytest process — `from main import
+# get_args_parser` in a later test would silently get the REFERENCE CLI
+# (order-dependent failures). We import once, cache the module objects,
+# and scrub every reference entry back out of sys.modules.
+_REF_TOP_LEVEL = ("main", "models", "util", "datasets", "engine", "deploy")
+_REF_CACHE = None
 
-    return ref_main, ref_models
+
+def import_reference():
+    """Import the reference tree without polluting sys.modules.
+
+    Returns (ref_main, ref_models). The reference's internal cross-module
+    references are bound at import time, so the module objects keep working
+    after their sys.modules entries are removed."""
+    global _REF_CACHE
+    if _REF_CACHE is not None:
+        return _REF_CACHE
+    install_shims()
+    saved = {}
+    for key in list(sys.modules):
+        if key.split(".", 1)[0] in _REF_TOP_LEVEL:
+            saved[key] = sys.modules.pop(key)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import main as ref_main  # noqa: F401  (argparse defaults)
+        import models as ref_models
+    finally:
+        if REF_ROOT in sys.path:
+            sys.path.remove(REF_ROOT)
+        for key in list(sys.modules):
+            if key.split(".", 1)[0] in _REF_TOP_LEVEL:
+                del sys.modules[key]
+        sys.modules.update(saved)
+
+    _REF_CACHE = (ref_main, ref_models)
+    return _REF_CACHE
 
 
 _COMMON_FLAGS = [
