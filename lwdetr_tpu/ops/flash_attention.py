@@ -145,8 +145,7 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
 
     # q lane-block: Mosaic pads the ragged tail block internally; K/V
     # panels span the full (unpadded) N so no masking is ever needed.
-    import os as _os
-    blk_q = min(_round_up(N, 128), int(_os.environ.get("ATTN_BLKQ", 128)))
+    blk_q = min(_round_up(N, 128), 128)
     n_q = (N + blk_q - 1) // blk_q
 
     # batch g images per program: amortizes grid overhead for windows AND
@@ -155,8 +154,6 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
     n_r = _round_up(N, 128)
     per_slice = 6 * blk_q * n_r + 4 * max(D, 8) * n_r * 4
     g = max(1, min(16, budget // max(per_slice, 1)))
-    if _os.environ.get("ATTN_G"):
-        g = int(_os.environ["ATTN_G"])
     while B % g:
         g -= 1
 
