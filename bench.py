@@ -4,21 +4,27 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N, ...}
 
 Metric: batched 640x640 inference throughput per chip for LW-DETR-small
-(bf16 compute, jit, forward + NMS-free top-k postprocess), the BASELINE.json
-north-star ("small ... >= 1000 img/s on a v5e-8" => 125 img/s/chip).
+(bf16 compute, jit, forward + NMS-free exact top-k postprocess), the
+BASELINE.json north-star ("small ... >= 1000 img/s on a v5e-8" =>
+125 img/s/chip).
 
-"value" is the ACCURACY-VALIDATED eval configuration — exact top-k and f32
-host inputs, matching engine.build_eval_step (the config the mAP claim rides
-on).  The JSON line also carries "value_approx": the deployment config
-(approx top-k recall_target=0.99 + bf16 host inputs), so both numbers are
-recorded side by side.  --skip-approx measures only the exact config.
+"value" is the ACCURACY-VALIDATED eval configuration — f32 host inputs,
+matching engine.build_eval_step (the config the mAP claim rides on).  The
+JSON line also carries "value_bf16_host": the deployment config (bf16 host
+inputs — halves H2D traffic and removes the on-device f32->bf16 image
+cast), plus the median/min/max spread of the timing samples.  Both configs
+run the exact two-stage top-k; the lax.approx_max_k path was removed in
+round 4 after the exact form overtook it (BENCH_r03.json: 1028 vs 1013).
+
+Timing protocol is the shared lwdetr_tpu.utils.timing.measure_ms (same
+iters/warmup/sync-tail as scripts/bench_all.py — round 3's two harnesses
+disagreed by 6% purely on protocol).
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
-import time
 
 import numpy as np
 
@@ -27,9 +33,6 @@ BASELINE_IMG_S_PER_CHIP = 125.0  # 1000 img/s on 8 chips (BASELINE.json)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-approx", action="store_true",
-                    default=bool(int(os.environ.get("BENCH_SKIP_APPROX", "0"))),
-                    help="measure only the exact-top-k eval config")
     ap.add_argument("--batch", type=int,
                     default=int(os.environ.get("BENCH_BATCH", 32)))
     ap.add_argument("--preset", default=os.environ.get("BENCH_PRESET", "small"))
@@ -40,6 +43,7 @@ def main():
 
     from lwdetr_tpu.config import get_config
     from lwdetr_tpu.models.lwdetr import build_model, post_process
+    from lwdetr_tpu.utils.timing import measure_ms
 
     cfg = get_config(args.preset)
     model = build_model(cfg.model, dtype=jnp.bfloat16)
@@ -52,45 +56,34 @@ def main():
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         init_images, train=True)
 
-    def make_fwd(approx: bool):
-        @jax.jit
-        def fwd(variables, images):
-            out = model.apply(variables, images, train=False)
-            sizes = jnp.full((images.shape[0], 2), 640.0)
-            return post_process(out["pred_logits"], out["pred_boxes"], sizes,
-                                num_select=cfg.model.num_select, approx=approx)
-        return fwd
+    @jax.jit
+    def fwd(variables, images):
+        out = model.apply(variables, images, train=False)
+        sizes = jnp.full((images.shape[0], 2), 640.0)
+        return post_process(out["pred_logits"], out["pred_boxes"], sizes,
+                            num_select=cfg.model.num_select)
 
-    def measure(approx: bool) -> float:
-        fwd = make_fwd(approx)
-        # exact config keeps f32 host inputs (what the eval loader produces);
-        # the deployment config feeds bf16 — halves H2D traffic and removes
-        # the on-device f32->bf16 image cast (~0.8 ms/batch-32).
-        host_dtype = jnp.bfloat16 if approx else jnp.float32
+    n_chips = max(jax.device_count(), 1)
+
+    def measure(host_dtype):
         images = jax.device_put(jnp.asarray(images_np, host_dtype))
-        # warmup (compile + 2 steady); device_get forces real materialization
-        # — block_until_ready returns early over the axon tunnel
-        jax.device_get(fwd(variables, images)[0])
-        for _ in range(2):
-            jax.device_get(fwd(variables, images)[0])
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(variables, images)
-        jax.device_get(out[0])
-        dt = time.perf_counter() - t0
-        n_chips = max(jax.device_count(), 1)
-        return batch * iters / dt / n_chips
+        t = measure_ms(fwd, variables, images)
+        return {k: batch / (v / 1000.0) / n_chips
+                for k, v in t.items() if k != "samples"}
 
-    value = measure(approx=False)
+    exact = measure(jnp.float32)        # eval-loader config (f32 host)
+    deploy = measure(jnp.bfloat16)      # deployment config (bf16 host)
     record = {
         "metric": f"lwdetr_{args.preset}_640_bf16_infer_throughput_exact",
-        "value": round(value, 2),
+        "value": round(exact["ms"], 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(value / BASELINE_IMG_S_PER_CHIP, 4),
+        "vs_baseline": round(exact["ms"] / BASELINE_IMG_S_PER_CHIP, 4),
+        # ms_min sample -> max throughput and vice versa
+        "value_spread": [round(exact["ms_max"], 2), round(exact["ms_min"], 2)],
+        "value_bf16_host": round(deploy["ms"], 2),
+        "value_bf16_host_spread": [round(deploy["ms_max"], 2),
+                                   round(deploy["ms_min"], 2)],
     }
-    if not args.skip_approx:
-        record["value_approx"] = round(measure(approx=True), 2)
     print(json.dumps(record))
 
 

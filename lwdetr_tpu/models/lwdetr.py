@@ -262,7 +262,6 @@ def post_process(
     pred_boxes: jnp.ndarray,
     target_sizes: jnp.ndarray,
     num_select: int = 300,
-    approx: bool = False,
 ):
     """NMS-free top-k decode (reference lwdetr.py:509-544).
 
@@ -271,18 +270,15 @@ def post_process(
     Returns (scores (B, S), labels (B, S), boxes (B, S, 4) xyxy absolute).
 
     Selection runs on raw logits (sigmoid is monotonic, applied only to the
-    selected k — the reference sigmoids all Q*K scores first, lwdetr.py:525).
-    `approx=True` uses the TPU-native `lax.approx_max_k` (~2.3x faster,
-    >=99% recall on the score tail; rank order of returned detections is
-    unchanged because the aggregated top-k re-sorts candidates).
+    selected k — the reference sigmoids all Q*K scores first, lwdetr.py:525)
+    through the exact two-stage tiled top-k.  A `lax.approx_max_k` variant
+    existed through round 3 but the two-stage exact form now beats it at
+    every preset shape (BENCH_r03.json: exact 1028 vs approx 1013 img/s),
+    so the approximate path was removed.
     """
     B, Q, K = pred_logits.shape
     flat = pred_logits.reshape(B, Q * K)
-    if approx:
-        top_logits, topk_idx = jax.lax.approx_max_k(flat, num_select,
-                                                    recall_target=0.99)
-    else:
-        top_logits, topk_idx = _exact_top_k(flat, num_select)
+    top_logits, topk_idx = _exact_top_k(flat, num_select)
     scores = jax.nn.sigmoid(top_logits)
     topk_boxes = topk_idx // K
     labels = topk_idx % K

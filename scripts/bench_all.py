@@ -2,7 +2,9 @@
 
 Counterpart of the reference's per-size latency table
 (/root/reference/README.md:346-356, measured by deploy/benchmark.py).
-Each size is jitted at square 640 in bf16 and timed batched.
+Each size is jitted at square 640 in bf16 and timed batched, through the
+shared timing protocol (lwdetr_tpu.utils.timing.measure_ms — identical
+iters/warmup/sync to bench.py, so the two harnesses agree up to run noise).
 
 Usage: python scripts/bench_all.py [--sizes tiny small ...] [--batch 32]
 Prints one JSON line per size.
@@ -13,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -29,6 +30,7 @@ def bench_size(size: str, batch: int) -> dict:
 
     from lwdetr_tpu.config import get_config
     from lwdetr_tpu.models.lwdetr import build_model, post_process
+    from lwdetr_tpu.utils.timing import measure_ms
 
     cfg = get_config(size)
     model = build_model(cfg.model, dtype=jnp.bfloat16)
@@ -45,17 +47,8 @@ def bench_size(size: str, batch: int) -> dict:
         return post_process(out["pred_logits"], out["pred_boxes"], sizes,
                             num_select=cfg.model.num_select)
 
-    def timed(imgs, n):
-        jax.device_get(fwd(variables, imgs)[0])
-        for _ in range(2):
-            jax.device_get(fwd(variables, imgs)[0])
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fwd(variables, imgs)
-        jax.device_get(out[0])
-        return (time.perf_counter() - t0) / n
-
-    dt = timed(jax.device_put(jnp.asarray(images_np, jnp.bfloat16)), 10)
+    imgs = jax.device_put(jnp.asarray(images_np, jnp.bfloat16))
+    t_batch = measure_ms(fwd, variables, imgs)
     # batch-1 latency: the reference table's column (TRT fp16 single image).
     # bs1_ms = per-dispatch wall (includes the host->device tunnel RPC);
     # bs1_device_ms = pure on-device latency via a K-deep in-jit chain where
@@ -63,33 +56,40 @@ def bench_size(size: str, batch: int) -> dict:
     # (no dispatch between iterations); the difference is the itemized
     # dispatch overhead of this setup.
     img1 = jax.device_put(jnp.asarray(images_np[:1], jnp.bfloat16))
-    dt1 = timed(img1, 20)
+    t_bs1 = measure_ms(fwd, variables, img1)
 
     K = 20
 
     @jax.jit
     def chain(variables, img):
         def step(c, _):
-            scores, _, _ = fwd(variables, c)
-            return c + (jnp.sum(scores) * 0).astype(c.dtype), None
+            # fold ALL THREE post_process outputs into the carry so XLA
+            # cannot dead-code-eliminate the box/label gather half of the
+            # postprocess inside the scan (ADVICE r3)
+            scores, labels, boxes = fwd(variables, c)
+            z = (jnp.sum(scores) + jnp.sum(labels.astype(scores.dtype))
+                 + jnp.sum(boxes)) * 0
+            return c + z.astype(c.dtype), None
         out, _ = jax.lax.scan(step, img, None, length=K)
         return jnp.sum(out.astype(jnp.float32))
 
-    jax.device_get(chain(variables, img1))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = chain(variables, img1)
-    jax.device_get(out)
-    dt1_dev = (time.perf_counter() - t0) / 3 / K
+    t_chain = measure_ms(chain, variables, img1, iters=3, repeats=5)
+    dev_ms = t_chain["ms"] / K
 
     return {
         "metric": f"lwdetr_{size}_640_bf16_infer_throughput",
-        "value": round(batch / dt, 2),
+        "value": round(batch / (t_batch["ms"] / 1000.0), 2),
         "unit": "img/s/chip",
-        "batch_ms": round(dt * 1000, 2),
-        "bs1_ms": round(dt1 * 1000, 2),
-        "bs1_device_ms": round(dt1_dev * 1000, 2),
-        "bs1_dispatch_overhead_ms": round((dt1 - dt1_dev) * 1000, 2),
+        "batch_ms": round(t_batch["ms"], 2),
+        "batch_ms_spread": [round(t_batch["ms_min"], 2),
+                            round(t_batch["ms_max"], 2)],
+        "bs1_ms": round(t_bs1["ms"], 2),
+        "bs1_ms_spread": [round(t_bs1["ms_min"], 2),
+                          round(t_bs1["ms_max"], 2)],
+        "bs1_device_ms": round(dev_ms, 2),
+        "bs1_device_ms_spread": [round(t_chain["ms_min"] / K, 2),
+                                 round(t_chain["ms_max"] / K, 2)],
+        "bs1_dispatch_overhead_ms": round(t_bs1["ms"] - dev_ms, 2),
         "ref_trt_fp16_ms_bs1": BASELINE_TRT_MS[size],
     }
 
