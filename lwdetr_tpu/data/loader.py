@@ -78,6 +78,7 @@ class DetectionLoader:
         use_native: bool = True,
         per_image_scales: bool = False,
         num_workers: int = 1,
+        image_dtype=None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -98,6 +99,11 @@ class DetectionLoader:
         # per-image rngs are spawned in index order, so batches are identical
         # for any worker count.
         self.num_workers = max(1, num_workers)
+        # optional host-side image cast (e.g. ml_dtypes.bfloat16 for bf16
+        # eval): runs in the prefetch thread where it overlaps device
+        # compute, halves H2D bytes and removes the on-device f32->bf16
+        # convert (~0.8 ms/batch-32 at small@640)
+        self.image_dtype = image_dtype
         self._pool = None
         self.epoch = 0
 
@@ -169,7 +175,10 @@ class DetectionLoader:
             samples = self._map_samples(load_eval, list(idxs))
             if not self.square_div_64:
                 samples = _pad_to_common(samples)
-        return collate(samples, self.max_gt)
+        batch = collate(samples, self.max_gt)
+        if self.image_dtype is not None:
+            batch["images"] = batch["images"].astype(self.image_dtype)
+        return batch
 
     def _eval_sample_native(self, idx: int):
         """Fused C++ decode+resize+normalize (native/preproc.cpp); targets

@@ -274,10 +274,16 @@ def main(args):
 
     # data
     ds_val = build_dataset("val", dcfg)
+    # bf16 eval feeds bf16 images from the loader: the cast runs in the
+    # prefetch thread (overlapped), halves H2D bytes and removes the
+    # on-device f32->bf16 convert; accuracy at this dtype is pinned by
+    # tests/test_micro_map_golden.py::test_micro_map_matches_golden_bf16
+    eval_image_dtype = (jnp.bfloat16 if (args.bf16 or args.fp16_eval)
+                        else None)
     val_loader = DetectionLoader(
         ds_val, batch_size=max(tcfg.batch_size, 1), train=False,
         max_gt=tcfg.max_gt, square_div_64=dcfg.square_resize_div_64,
-        num_workers=dcfg.num_workers,
+        num_workers=dcfg.num_workers, image_dtype=eval_image_dtype,
         process_index=jax.process_index(), process_count=jax.process_count())
     if not args.eval:
         ds_train = build_dataset("train", dcfg)

@@ -41,11 +41,11 @@ def micro_config():
         two_stage=True, lite_refpoint_refine=True, bbox_reparam=True)
 
 
-def build_micro(seed: int = 0):
+def build_micro(seed: int = 0, dtype=jnp.float32):
     from lwdetr_tpu.models.lwdetr import build_model
 
     cfg = micro_config()
-    model = build_model(cfg)
+    model = build_model(cfg, dtype=dtype)
     variables = model.init(
         {"params": jax.random.PRNGKey(seed),
          "dropout": jax.random.PRNGKey(seed + 1)},
@@ -66,19 +66,26 @@ def load_weights(variables, npz_path: str):
 
 
 def run_pipeline(fixdir: str, variables=None, collect_dets: bool = False,
-                 batch_size: int = 4):
+                 batch_size: int = 4, dtype=jnp.float32):
     """Loader -> eval_step -> evaluator over the fixture dir.
 
     Returns (dets_by_image_id or None, stats or None): with
     collect_dets=True only raw detections are gathered (phase A of the
     generator); otherwise the 12-stat dict is computed.
+
+    dtype is the model COMPUTE dtype: jnp.bfloat16 reproduces the deployed
+    bench configuration (bf16 matmuls, tanh-gelu, trace-time scale folding,
+    bf16 images fed straight from the loader, the same wiring as
+    `main.py --bf16 --eval`) while params stay f32 — exactly what bench.py
+    measures.  Host-side f32->bf16 cast and the on-device convert are both
+    round-to-nearest-even, so this matches the device-cast result bitwise.
     """
     from lwdetr_tpu.data.coco import CocoDetection
     from lwdetr_tpu.data.coco_eval import CocoEvaluator
     from lwdetr_tpu.data.loader import DetectionLoader
     from lwdetr_tpu.train.engine import build_eval_step
 
-    cfg, model, init_vars = build_micro(seed=0)
+    cfg, model, init_vars = build_micro(seed=0, dtype=dtype)
     if variables is None:
         variables = init_vars
 
@@ -86,7 +93,9 @@ def run_pipeline(fixdir: str, variables=None, collect_dets: bool = False,
                        os.path.join(fixdir, "annotations",
                                     "instances_val2017.json"))
     loader = DetectionLoader(ds, batch_size=batch_size, train=False,
-                             max_gt=10, square_div_64=True, num_workers=0)
+                             max_gt=10, square_div_64=True, num_workers=0,
+                             image_dtype=(jnp.bfloat16
+                                          if dtype == jnp.bfloat16 else None))
     eval_step = build_eval_step(model, cfg.num_select)
 
     evaluator = None if collect_dets else CocoEvaluator(ds.coco)
