@@ -3,7 +3,13 @@
 Measures the FULL jitted train step — forward, Hungarian matching (on
 device), IA-BCE + L1 + GIoU losses over last/aux/enc output sets, backward,
 AdamW, EMA — on synthetic data, mirroring the reference's per-iteration
-work (engine.py:40-86).
+work (engine.py:40-86).  Reference per-GPU batch shapes: tiny/small 4,
+medium/large/xlarge 2 (scripts/lwdetr_*_coco_train.sh); pass --batch to
+measure a TPU-efficient batch instead.
+
+Timing uses the shared protocol (lwdetr_tpu.utils.timing): median over
+repeats with min/max spread; the step is stateful (donated train state)
+so the loop threads state through a holder.
 
 Prints ONE JSON line like bench.py. Usage:
   python bench_train.py [--preset small] [--batch 8] [--steps 10]
@@ -16,16 +22,24 @@ import time
 
 import numpy as np
 
+REF_PER_GPU_BATCH = {"tiny": 4, "small": 4, "medium": 2, "large": 2,
+                     "xlarge": 2}
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="small")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: the reference per-GPU batch for --preset")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--max_gt", type=int, default=100)
     ap.add_argument("--gt_per_img", type=int, default=7,
                     help="valid boxes per image (COCO mean ~7)")
+    ap.add_argument("--grad_checkpointing", action="store_true")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = REF_PER_GPU_BATCH[args.preset]
 
     import jax
     import jax.numpy as jnp
@@ -36,7 +50,13 @@ def main():
     from lwdetr_tpu.train.engine import build_train_step, create_train_state
     from lwdetr_tpu.train.optim import build_optimizer
 
+    import dataclasses
+
     cfg = get_config(args.preset)
+    if args.grad_checkpointing:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           grad_checkpointing=True))
     model = build_model(cfg.model, dtype=jnp.bfloat16)
     criterion = SetCriterion(cfg.model, cfg.train)
     rng = jax.random.PRNGKey(0)
@@ -61,21 +81,37 @@ def main():
         "valid": jnp.asarray(np.tile(np.arange(T) < args.gt_per_img, (B, 1))),
     }
     r = jax.random.PRNGKey(1)
-    state, m = step(state, batch, r, jnp.float32(0.05), jnp.float32(0.0))
-    jax.device_get(m["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
+    def one_step(i):
+        nonlocal state
         state, m = step(state, batch, jax.random.fold_in(r, i),
                         jnp.float32(0.05), jnp.float32(0.0))
-    jax.device_get(m["loss"])
-    dt = (time.perf_counter() - t0) / args.steps
+        return m["loss"]
+
+    # warmup: compile + 2 steady steps
+    for i in range(3):
+        jax.device_get(one_step(i))
+    samples = []
+    it = 100
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(args.steps):
+            loss = one_step(it)
+            it += 1
+        jax.device_get(loss)
+        samples.append((time.perf_counter() - t0) / args.steps * 1000.0)
+    samples.sort()
+    med = samples[len(samples) // 2]
 
     print(json.dumps({
         "metric": f"lwdetr_{args.preset}_640_bf16_train_throughput",
-        "value": round(B / dt, 2),
+        "value": round(B / (med / 1000.0), 2),
         "unit": "img/s/chip",
-        "step_ms": round(dt * 1000, 1),
+        "batch": B,
+        "step_ms": round(med, 1),
+        "step_ms_spread": [round(samples[0], 1), round(samples[-1], 1)],
+        "grad_checkpointing": bool(args.grad_checkpointing),
     }))
 
 

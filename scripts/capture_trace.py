@@ -25,8 +25,12 @@ def main():
     cfg = get_config(os.environ.get("PROF_SIZE", "small"))
     model = build_model(cfg.model, dtype=jnp.bfloat16)
     batch = int(os.environ.get("PROF_BATCH", 32))
+    # PROF_DTYPE=bf16 profiles the deployment config (bf16 host inputs,
+    # what the loader feeds under --bf16); default f32 host inputs
+    host_dtype = (jnp.bfloat16 if os.environ.get("PROF_DTYPE") == "bf16"
+                  else jnp.float32)
     images = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (batch, 640, 640, 3)).astype(np.float32))
+        (batch, 640, 640, 3)), host_dtype)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.zeros((1, 640, 640, 3), jnp.float32), train=True)
