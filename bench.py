@@ -8,13 +8,15 @@ Metric: batched 640x640 inference throughput per chip for LW-DETR-small
 BASELINE.json north-star ("small ... >= 1000 img/s on a v5e-8" =>
 125 img/s/chip).
 
-"value" is the ACCURACY-VALIDATED eval configuration — f32 host inputs,
-matching engine.build_eval_step (the config the mAP claim rides on).  The
-JSON line also carries "value_bf16_host": the deployment config (bf16 host
-inputs — halves H2D traffic and removes the on-device f32->bf16 image
-cast), plus the median/min/max spread of the timing samples.  Both configs
-run the exact two-stage top-k; the lax.approx_max_k path was removed in
-round 4 after the exact form overtook it (BENCH_r03.json: 1028 vs 1013).
+"value" is the DEPLOYED eval configuration — bf16 host inputs, exactly
+what the eval loader feeds under --bf16 (DetectionLoader image_dtype) and
+what tests/test_micro_map_golden.py::test_micro_map_matches_golden_bf16
+pins for accuracy.  The JSON line also carries "value_f32_host" (f32 host
+inputs, the pre-round-4 primary: adds the H2D f32 traffic and an
+on-device f32->bf16 image cast), plus the median/min/max spread of the
+timing samples.  Both configs run the exact two-stage top-k; the
+lax.approx_max_k path was removed in round 4 after the exact form
+overtook it (BENCH_r03.json: 1028 vs 1013).
 
 Timing protocol is the shared lwdetr_tpu.utils.timing.measure_ms (same
 iters/warmup/sync-tail as scripts/bench_all.py — round 3's two harnesses
@@ -71,18 +73,19 @@ def main():
         return {k: batch / (v / 1000.0) / n_chips
                 for k, v in t.items() if k != "samples"}
 
-    exact = measure(jnp.float32)        # eval-loader config (f32 host)
-    deploy = measure(jnp.bfloat16)      # deployment config (bf16 host)
+    deploy = measure(jnp.bfloat16)      # deployed config (bf16 host, golden-pinned)
+    f32h = measure(jnp.float32)         # f32-host variant (pre-r4 primary)
     record = {
         "metric": f"lwdetr_{args.preset}_640_bf16_infer_throughput_exact",
-        "value": round(exact["ms"], 2),
+        "value": round(deploy["ms"], 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(exact["ms"] / BASELINE_IMG_S_PER_CHIP, 4),
+        "vs_baseline": round(deploy["ms"] / BASELINE_IMG_S_PER_CHIP, 4),
         # ms_min sample -> max throughput and vice versa
-        "value_spread": [round(exact["ms_max"], 2), round(exact["ms_min"], 2)],
-        "value_bf16_host": round(deploy["ms"], 2),
-        "value_bf16_host_spread": [round(deploy["ms_max"], 2),
-                                   round(deploy["ms_min"], 2)],
+        "value_spread": [round(deploy["ms_max"], 2),
+                         round(deploy["ms_min"], 2)],
+        "value_f32_host": round(f32h["ms"], 2),
+        "value_f32_host_spread": [round(f32h["ms_max"], 2),
+                                  round(f32h["ms_min"], 2)],
     }
     print(json.dumps(record))
 

@@ -28,6 +28,11 @@ from collections import defaultdict
 from typing import Callable, Dict, Optional
 
 _SHAPE_RE = re.compile(r"(?:[a-z]+\d*|pred|token)\[([\d,]*)\]")
+# TPU-backend as_text() carries layout annotations after every shape —
+# f32[128,64]{0,1:T(8,128)S(1)} — whose ':'/'(' break _DEF_RE; strip any
+# brace group that immediately follows a ']' (attribute braces like
+# lhs_contracting_dims={1} follow '=' and survive)
+_LAYOUT_RE = re.compile(r"(?<=\])\{[^{}]*\}")
 _DEF_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*"         # instruction name
     r"(\(?[a-z][\w\[\],\s{}\/\*]*?\)?)\s*"            # result type(s)
@@ -63,7 +68,7 @@ def parse_hlo_flops(hlo_text: str) -> Dict[str, object]:
                       approximation is avoided: dtype width parsed per line)
     """
     shapes: Dict[str, list] = {}
-    lines = hlo_text.splitlines()
+    lines = [_LAYOUT_RE.sub("", ln) for ln in hlo_text.splitlines()]
     # pass 1: name -> result dims (first shape of tuple results)
     for ln in lines:
         m = _DEF_RE.match(ln)
