@@ -87,3 +87,27 @@ def test_parser_tolerates_unknown_lines():
     r = parse_hlo_flops("garbage\n%x = f32[2,2]{1,0} add(%a, %b)\n")
     assert r["flops_by_op"] == {}
     assert r["counts_by_op"]["add"] == 1
+
+
+def test_parser_strips_tpu_layout_annotations():
+    """TPU-backend as_text() annotates every shape with a layout whose
+    ':'/'(' broke the instruction regex (round-4 fix): dots lower to
+    spatial-free convolutions with dim_labels=bf_io->bf and layouts like
+    {0,1:T(8,128)S(1)}. Attribute braces (contracting dims) must survive
+    the strip."""
+    txt = "\n".join([
+        "  %w = f32[256,64]{0,1:T(8,128)} parameter(1)",
+        "  ROOT %convolution.1 = f32[128,64]{0,1:T(8,128)S(1)} "
+        "convolution(%fusion.1, %w), dim_labels=bf_io->bf, "
+        'metadata={op_name="jit(f)/stage_a/dot_general"}',
+        "  %d = f32[128,64]{0,1:T(8,128)} dot(%a, %w), "
+        "lhs_contracting_dims={1}, rhs_contracting_dims={0}, "
+        'metadata={op_name="jit(f)/stage_b/dot_general"}',
+        "  %a = f32[128,256]{0,1:T(8,128)(2,1)} parameter(0)",
+    ])
+    r = parse_hlo_flops(txt)
+    expect = 2 * 128 * 64 * 256
+    assert r["flops_by_op"]["convolution"] == expect
+    assert r["flops_by_op"]["dot"] == expect
+    assert r["flops_by_stage"]["stage_a/dot_general"] == expect
+    assert r["flops_by_stage"]["stage_b/dot_general"] == expect
