@@ -10,6 +10,14 @@ and compute FLOPs per instruction from shapes:
 * ``dot``          — 2 * prod(output shape) * prod(lhs contracting dims)
 * ``convolution``  — 2 * prod(output shape) * prod(kernel spatial) * kernel_i
 
+Convolution FLOPs are window-exact: the TPU backend expresses many matmuls
+and every gradient conv as padded/dilated correlations (e.g. an einsum
+transpose becomes ``window={size=104 pad=103_103 rhs_reversal=1}`` where
+each output position overlaps exactly ONE valid input tap), so the naive
+``prod(kernel spatial)`` formula overcounts by up to the window size; we
+count valid (output, tap) pairs per spatial dim from the window attributes
+instead, which matches HloCostAnalysis.
+
 Everything else (fused elementwise, reduces, gathers, transposes) is
 FLOP-light on the MXU ledger; we report instruction counts and output bytes
 for those classes instead.  Totals are cross-checked against
@@ -41,6 +49,41 @@ _OPND_RE = re.compile(r"%([\w\.\-]+)")
 _CONTRACT_RE = re.compile(r"lhs_contracting_dims=\{([\d,]*)\}")
 _DIMLABELS_RE = re.compile(r"dim_labels=(\w+)_(\w+)->(\w+)")
 _METADATA_RE = re.compile(r'op_name="([^"]*)"')
+_WINDOW_RE = re.compile(r"window=\{([^}]*)\}")
+
+
+def _parse_window(attrs: str, ndims: int) -> dict:
+    """Parse an HLO window attribute string into per-dim lists."""
+    out = {"size": [1] * ndims, "stride": [1] * ndims,
+           "pad_lo": [0] * ndims, "lhs_dilate": [1] * ndims,
+           "rhs_dilate": [1] * ndims}
+    for key, field in (("size", "size"), ("stride", "stride"),
+                       ("lhs_dilate", "lhs_dilate"),
+                       ("rhs_dilate", "rhs_dilate")):
+        m = re.search(rf"{field}=([\dx]+)", attrs)
+        if m:
+            vals = [int(v) for v in m.group(1).split("x")]
+            out[key] = vals + [1] * (ndims - len(vals))
+    m = re.search(r"pad=([\d_x\-]+)", attrs)
+    if m:
+        lo = [int(p.split("_")[0]) for p in m.group(1).split("x")]
+        out["pad_lo"] = lo + [0] * (ndims - len(lo))
+    return out
+
+
+def _conv_taps(O: int, S: int, I: int, stride: int, pad_lo: int,
+               lhs_dilate: int, rhs_dilate: int) -> int:
+    """Valid (output position, kernel tap) pairs along one spatial dim —
+    the per-dim factor of HloCostAnalysis' convolution FLOP count."""
+    I_dil = (I - 1) * lhs_dilate + 1 if I > 0 else 0
+    total = 0
+    for p in range(O):
+        base = p * stride - pad_lo
+        for s in range(S):
+            x = base + s * rhs_dilate
+            if 0 <= x < I_dil and x % lhs_dilate == 0:
+                total += 1
+    return total
 
 
 def _dims(type_str: str):
@@ -120,15 +163,30 @@ def parse_hlo_flops(hlo_text: str) -> Dict[str, object]:
             dl = _DIMLABELS_RE.search(ln)
             if len(opnds) < 2 or dl is None:
                 continue
+            lshape = shapes.get(opnds[0], [])
             kshape = shapes.get(opnds[1], [])
-            klabels = dl.group(2)  # e.g. "01io"
-            if len(kshape) != len(klabels):
+            llabels, klabels, olabels = dl.groups()  # e.g. b01f, 01io, b01f
+            if len(kshape) != len(klabels) or len(out_dims) != len(olabels):
                 continue
-            per_out = 1
-            for d, lab in zip(kshape, klabels):
-                if lab != "o":  # spatial dims and the 'i' (per-group C_in)
-                    per_out *= d
-            f = 2.0 * _prod(out_dims) * per_out
+            spatial = sorted(c for c in klabels if c.isdigit())
+            if spatial and len(lshape) != len(llabels):
+                continue  # need lhs spatial extents for windowed counting
+            k_i = _prod([d for d, lab in zip(kshape, klabels) if lab == "i"])
+            out_nonspatial = _prod(
+                [d for d, lab in zip(out_dims, olabels) if not lab.isdigit()])
+            win = _parse_window(
+                (_WINDOW_RE.search(ln) or [None, ""])[1], len(spatial))
+            f = 2.0 * out_nonspatial * k_i
+            for di, c in enumerate(spatial):
+                O = out_dims[olabels.index(c)]
+                S = kshape[klabels.index(c)]
+                I = lshape[llabels.index(c)]
+                # window sizes override kernel dims when present (reversal
+                # and dilation live there too)
+                S = win["size"][di] if win["size"][di] != 1 or S == 1 else S
+                f *= _conv_taps(O, S, I, win["stride"][di],
+                                win["pad_lo"][di], win["lhs_dilate"][di],
+                                win["rhs_dilate"][di])
             flops_by_op["convolution"] += f
             flops_by_stage[_stage_of(ln)] += f
 

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--step_ms", type=float, default=None,
                     help="measured step time -> prints achieved TFLOP/s")
     ap.add_argument("--top", type=int, default=18)
+    ap.add_argument("--dump", default=None,
+                    help="also write the optimized HLO text to this path")
     args = ap.parse_args()
     if args.batch is None:
         from bench_train import REF_PER_GPU_BATCH
@@ -82,6 +84,9 @@ def main():
                          jax.ShapeDtypeStruct((), jnp.float32),
                          jax.ShapeDtypeStruct((), jnp.float32))
     compiled = lowered.compile()
+    if args.dump:
+        with open(args.dump, "w") as f:
+            f.write(compiled.as_text())
     report = detailed_flops(None, compiled=compiled)
     print(f"== train step FLOPs: {args.preset} @ batch {B} (640x640 bf16) ==")
     print(format_report(report, top=args.top))

@@ -111,3 +111,38 @@ def test_parser_strips_tpu_layout_annotations():
     assert r["flops_by_op"]["dot"] == expect
     assert r["flops_by_stage"]["stage_a/dot_general"] == expect
     assert r["flops_by_stage"]["stage_b/dot_general"] == expect
+
+
+def test_windowed_gradient_conv_flops():
+    """The TPU backend expresses einsum transposes and gradient convs as
+    fully-padded correlations (window={size=S pad=S-1_S-1 rhs_reversal=1}
+    over a spatial-1 input): each output position overlaps exactly one
+    valid tap, so FLOPs are 2*out_nonspatial*k_i*O — NOT scaled by the
+    window size (the round-4 overcount was 104x on decoder self-attn)."""
+    txt = "\n".join([
+        "  %lhs = bf16[256,8,1]{2,1,0:T(8,128)(2,1)} parameter(0)",
+        "  %krn = bf16[4,300,256]{2,1,0:T(8,128)(2,1)} parameter(1)",
+        "  %convolution.9 = bf16[8,4,300]{2,0,1:T(8,128)(2,1)} "
+        "convolution(%lhs, %krn), window={size=4 pad=3_3 rhs_reversal=1}, "
+        "dim_labels=fb0_0oi->b0f, "
+        'metadata={op_name="jit(f)/attn/einsum_t"}',
+    ])
+    r = parse_hlo_flops(txt)
+    # out nonspatial = 8*300, k_i = 256, taps along the spatial dim = 4
+    # out positions x 1 valid tap each
+    assert r["flops_by_op"]["convolution"] == 2 * (8 * 300) * 256 * 4
+
+
+def test_strided_patch_conv_window_exact():
+    """A stride-S non-overlapping patch conv must count exactly
+    2*B*Oc*ki*prod(spatial_out*spatial_kernel) — the windowed formula must
+    reproduce the dense formula when every tap is valid."""
+    txt = "\n".join([
+        "  %x = f32[2,64,64,3]{3,2,1,0} parameter(0)",
+        "  %k = f32[16,16,3,96]{3,2,1,0} parameter(1)",
+        "  %convolution.1 = f32[2,4,4,96]{3,2,1,0} convolution(%x, %k), "
+        "window={size=16x16 stride=16x16}, dim_labels=b01f_01io->b01f, "
+        'metadata={op_name="jit(f)/patch_embed/conv"}',
+    ])
+    r = parse_hlo_flops(txt)
+    assert r["flops_by_op"]["convolution"] == 2 * 2 * 96 * 3 * (4 * 16) ** 2
