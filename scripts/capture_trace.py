@@ -15,7 +15,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TRACE_DIR = "/tmp/jaxtrace"
 
 
+def _enable_compile_cache():
+    # Train-step compiles run many minutes on the tunnel; cache them so a
+    # re-profile (or a timeout retry) skips straight to the trace.
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -83,6 +93,7 @@ def dump_top_ops(n=40):
 
 def main_train():
     """Trace the full train step (forward+matcher+loss+backward+optimizer)."""
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
