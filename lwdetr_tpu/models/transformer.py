@@ -159,6 +159,32 @@ class DenseToCM(nn.Module):
         return out + bias.astype(self.dtype)[:, None]
 
 
+class DenseBHND(nn.Module):
+    """Dense layer consuming row-major (B, N, C_in) and emitting HEAD-MAJOR
+    (B, H, N, D) — the layout the separable deform-attn kernel's per-level
+    value panels slice without a transpose (and whose VJP is again a pure
+    GEMM). Param names/shapes match nn.Dense (checkpoint bridge
+    unaffected)."""
+
+    features: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        H = self.num_heads
+        D = self.features // H
+        kernel = self.param("kernel", self.kernel_init,
+                            (c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        out = jnp.einsum("bnc,chd->bhnd", x.astype(self.dtype),
+                         kernel.astype(self.dtype).reshape(c_in, H, D))
+        return out + bias.astype(self.dtype).reshape(H, D)[:, None]
+
+
 class MSDeformAttnModule(nn.Module):
     """Projection wrapper around the deformable-attention core op
     (reference models/ops/modules/ms_deform_attn.py:96-144)."""
@@ -225,6 +251,13 @@ class MSDeformAttnModule(nn.Module):
             value_t = DenseToCM(C, dtype=self.dtype, name="value_proj")(memory)
             if padding_mask is not None:
                 value_t = jnp.where(padding_mask[:, None, :], 0.0, value_t)
+        elif use_sep:
+            # head-major straight out of the GEMM: the sep kernel's
+            # per-level panels slice this without a transpose
+            value = DenseBHND(C, self.n_heads, dtype=self.dtype,
+                              name="value_proj")(memory)  # (B, H, Len, D)
+            if padding_mask is not None:
+                value = jnp.where(padding_mask[:, None, :, None], 0.0, value)
         else:
             value = nn.Dense(C, dtype=self.dtype, name="value_proj",
                              kernel_init=nn.initializers.xavier_uniform())(memory)
@@ -271,7 +304,8 @@ class MSDeformAttnModule(nn.Module):
                           kernel_init=nn.initializers.xavier_uniform())(out_t)
         else:
             if use_sep:
-                out = ms_deform_attn_sep(value, spatial_shapes, loc, weights)
+                out = ms_deform_attn_sep(value, spatial_shapes, loc, weights,
+                                         value_head_major=True)
             else:
                 out = ms_deform_attn_fast(value, spatial_shapes, loc, weights)
             out = nn.Dense(C, dtype=self.dtype, name="output_proj",

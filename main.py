@@ -217,9 +217,28 @@ def config_from_args(args):
                   output_dir=args.output_dir)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (~/.cache unless JAX_CACHE_DIR set).
+
+    Train-step compiles run minutes on a tunneled TPU; the reference's
+    torch path has no such cost, so without this a resumed/re-launched run
+    pays it every time.  Disable with JAX_NO_COMPILE_CACHE=1."""
+    if os.environ.get("JAX_NO_COMPILE_CACHE"):
+        return
+    import jax
+    cache = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "lwdetr_tpu_xla"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from lwdetr_tpu.config import Config
     from lwdetr_tpu.data.coco import build_dataset
@@ -562,6 +581,7 @@ def export_model(args):
     jax.export artifacts loadable without Python model code)."""
     from lwdetr_tpu.deploy.export import export_main
 
+    _enable_compile_cache()
     if getattr(args, "dry_run", False):
         print(f"[dry-run] would AOT-compile preset={args.preset} "
               f"shape={tuple(args.shape)} batch={args.batch} "
