@@ -194,6 +194,12 @@ class MSDeformAttnModule(nn.Module):
     n_heads: int
     n_points: int
     dtype: jnp.dtype = jnp.float32
+    # Test knob: force a specific kernel branch ("sep" | "cm" | "gather")
+    # instead of the backend-based dispatch below, optionally running the
+    # Pallas kernels in interpret mode so the TPU-only branches are
+    # exercisable on CPU. Production call sites leave these at defaults.
+    force_branch: Optional[str] = None
+    kernel_interpret: bool = False
 
     @nn.compact
     def __call__(self, query, reference_points, memory, spatial_shapes,
@@ -204,27 +210,34 @@ class MSDeformAttnModule(nn.Module):
         Len_in = memory.shape[1]
         D = C // self.n_heads
 
-        on_tpu = jax.default_backend() == "tpu" and Len_in >= 128
-        # Kernel dispatch (both measured at small@640 on v5e):
-        # * inference: channel-major sparse-matrix sampler — at Q=300 the
-        #   (q, n) one-hot sweep is cheap and the zero-copy value layout
-        #   wins; the separable path pays an unavoidable per-layer value
-        #   relayout that the small Q cannot amortize.
-        # * training (group-DETR Q = num_queries*groups, e.g. 3904): the
-        #   (q, n) sweep scales with Q in forward AND both backward kernels,
-        #   while the separable factorization's value prep is Q-independent
-        #   — sep wins there.
-        # * large token counts (P3 levels, Len_in ~ 6800): the cm sweep is
-        #   O(q·n·cp) regardless of mode and dominates the whole forward
-        #   (measured 41 ms/call at large@640 b32 eval) — sep in both modes.
-        use_sep = on_tpu and (train or Len_in >= 4096)
-        if use_sep:
-            vmem = _sep_vmem_need(tuple(spatial_shapes), self.n_heads, D, 128,
-                                  self.n_levels * self.n_points * 2,
-                                  self.n_points,
-                                  val_bytes=jnp.dtype(self.dtype).itemsize)
-            use_sep = vmem <= 40 * 1024 * 1024
-        channel_major = on_tpu and not use_sep
+        if self.force_branch is not None:
+            assert self.force_branch in ("sep", "cm", "gather")
+            use_sep = self.force_branch == "sep"
+            channel_major = self.force_branch == "cm"
+        else:
+            on_tpu = jax.default_backend() == "tpu" and Len_in >= 128
+            # Kernel dispatch (both measured at small@640 on v5e):
+            # * inference: channel-major sparse-matrix sampler — at Q=300 the
+            #   (q, n) one-hot sweep is cheap and the zero-copy value layout
+            #   wins; the separable path pays an unavoidable per-layer value
+            #   relayout that the small Q cannot amortize.
+            # * training (group-DETR Q = num_queries*groups, e.g. 3904): the
+            #   (q, n) sweep scales with Q in forward AND both backward
+            #   kernels, while the separable factorization's value prep is
+            #   Q-independent — sep wins there.
+            # * large token counts (P3 levels, Len_in ~ 6800): the cm sweep
+            #   is O(q·n·cp) regardless of mode and dominates the whole
+            #   forward (measured 41 ms/call at large@640 b32 eval) — sep in
+            #   both modes.
+            use_sep = on_tpu and (train or Len_in >= 4096)
+            if use_sep:
+                vmem = _sep_vmem_need(tuple(spatial_shapes), self.n_heads, D,
+                                      128,
+                                      self.n_levels * self.n_points * 2,
+                                      self.n_points,
+                                      val_bytes=jnp.dtype(self.dtype).itemsize)
+                use_sep = vmem <= 40 * 1024 * 1024
+            channel_major = on_tpu and not use_sep
 
         # pad queries to the kernel q-block at the SOURCE: a wide-lane
         # (B, Q, C) pad is ~free, while padding the narrow per-point
@@ -298,16 +311,19 @@ class MSDeformAttnModule(nn.Module):
 
         if channel_major:
             out_t = ms_deform_attn_cm(value_t, spatial_shapes, loc, weights,
-                                      self.n_heads)  # (B, C, Q)
+                                      self.n_heads,
+                                      interpret=self.kernel_interpret)  # (B, C, Q)
             from lwdetr_tpu.models.vit import DenseCM
             out = DenseCM(C, dtype=self.dtype, name="output_proj",
                           kernel_init=nn.initializers.xavier_uniform())(out_t)
         else:
             if use_sep:
                 out = ms_deform_attn_sep(value, spatial_shapes, loc, weights,
+                                         interpret=self.kernel_interpret,
                                          value_head_major=True)
             else:
-                out = ms_deform_attn_fast(value, spatial_shapes, loc, weights)
+                out = ms_deform_attn_fast(value, spatial_shapes, loc, weights,
+                                          interpret=self.kernel_interpret)
             out = nn.Dense(C, dtype=self.dtype, name="output_proj",
                            kernel_init=nn.initializers.xavier_uniform())(out)
         return out[:, :Q0] if Q != Q0 else out

@@ -15,10 +15,12 @@ TPU-native re-design of /root/reference/models/backbone/vit.py:26-365:
 * stochastic depth rates are runtime inputs so the reference's per-iteration
   drop scheduler (util/drop_scheduler.py) works without recompilation.
 
-All attention here is exact softmax attention; sequence lengths are small
-(<=400 per window, <=6400 global at 1280 px), so the N^2 form stays in VMEM
-tiles and XLA fuses it. A Pallas flash-attention path can be slotted into
-`_attention` without touching the rest.
+All attention here is exact softmax attention. On TPU it runs through the
+fused channel-major Pallas kernel (`ops/flash_attention.py::attention_cm`):
+window blocks use the all-heads variant over (B*16, hw) panels, global
+blocks grid over (batch, head) at N = 16*hw; scores never touch HBM in
+either pass. Off-TPU (and as the test oracle) the plain XLA einsum-softmax
+form is used.
 """
 from __future__ import annotations
 

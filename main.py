@@ -218,11 +218,14 @@ def config_from_args(args):
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache (~/.cache unless JAX_CACHE_DIR set).
+    """Persistent XLA compilation cache (~/.cache/lwdetr_tpu_xla unless
+    JAX_CACHE_DIR set).
 
     Train-step compiles run minutes on a tunneled TPU; the reference's
     torch path has no such cost, so without this a resumed/re-launched run
-    pays it every time.  Disable with JAX_NO_COMPILE_CACHE=1."""
+    pays it every time.  JAX never evicts cache entries, so the directory
+    grows with every distinct (shape, flag) combination compiled — delete
+    it freely, or disable writing entirely with JAX_NO_COMPILE_CACHE=1."""
     if os.environ.get("JAX_NO_COMPILE_CACHE"):
         return
     import jax
@@ -592,7 +595,11 @@ def export_model(args):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(
-        "LW-DETR TPU", parents=[get_args_parser()])
+        "LW-DETR TPU", parents=[get_args_parser()],
+        epilog="XLA compiles are cached persistently in ~/.cache/lwdetr_tpu_xla"
+               " (override: JAX_CACHE_DIR; disable: JAX_NO_COMPILE_CACHE=1)."
+               " The cache is never evicted; delete the directory to reclaim"
+               " space.")
     args = parser.parse_args()
     if args.subcommand == "export_model":
         export_model(args)

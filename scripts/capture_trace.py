@@ -10,7 +10,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 TRACE_DIR = "/tmp/jaxtrace"
 
@@ -19,7 +20,9 @@ def _enable_compile_cache():
     # Train-step compiles run many minutes on the tunnel; cache them so a
     # re-profile (or a timeout retry) skips straight to the trace.
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     os.path.join(_REPO_ROOT, ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

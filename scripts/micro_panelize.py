@@ -19,7 +19,6 @@ Usage: python scripts/micro_panelize.py [--preset large] [--batch 32]
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time
