@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -42,6 +43,15 @@ def main():
         args.batch = REF_PER_GPU_BATCH[args.preset]
 
     import jax
+
+    # Persistent compile cache: train-step compiles run minutes over the
+    # tunnel; sweeping presets/batches shouldn't pay twice for one config.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", os.path.join(
+                          os.path.expanduser("~"), ".cache",
+                          "lwdetr_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from lwdetr_tpu.config import get_config
@@ -101,6 +111,7 @@ def main():
             it += 1
         jax.device_get(loss)
         samples.append((time.perf_counter() - t0) / args.steps * 1000.0)
+    chron = list(samples)
     samples.sort()
     med = samples[len(samples) // 2]
 
@@ -111,6 +122,12 @@ def main():
         "batch": B,
         "step_ms": round(med, 1),
         "step_ms_spread": [round(samples[0], 1), round(samples[-1], 1)],
+        # full per-repeat distribution (sorted): a lone 2x max with a tight
+        # rest = one tunnel/host hiccup, a bimodal split = real recompile
+        "step_ms_samples": [round(s, 1) for s in samples],
+        # chronological order: outlier always first = warmup effect;
+        # outlier at random positions = external (tunnel/host) hiccup
+        "step_ms_chron": [round(s, 1) for s in chron],
         "grad_checkpointing": bool(args.grad_checkpointing),
     }))
 
