@@ -17,6 +17,7 @@ Prints ONE JSON line like bench.py. Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -38,6 +39,16 @@ def main():
     ap.add_argument("--gt_per_img", type=int, default=7,
                     help="valid boxes per image (COCO mean ~7)")
     ap.add_argument("--grad_checkpointing", action="store_true")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="run N steps inside ONE jit (lax.scan) — pure "
+                         "on-device step time, no per-step dispatch. The "
+                         "default per-step dispatch includes this setup's "
+                         "tunnel RPC (~9 ms/step at small b8), which a "
+                         "production loop overlaps with device compute.")
+    ap.add_argument("--host_dtype", choices=["f32", "bf16"], default="f32",
+                    help="image dtype fed from host; bf16 = what the "
+                         "production loader feeds under --bf16 (drops the "
+                         "in-graph f32->bf16 cast)")
     args = ap.parse_args()
     if args.batch is None:
         args.batch = REF_PER_GPU_BATCH[args.preset]
@@ -81,10 +92,11 @@ def main():
                             static_zero_dropout=cfg.model.dropout == 0)
 
     B, T = args.batch, args.max_gt
+    img_dtype = jnp.bfloat16 if args.host_dtype == "bf16" else jnp.float32
     rngd = np.random.default_rng(0)
     batch = {
         "images": jnp.asarray(rngd.standard_normal((B, 640, 640, 3)),
-                              jnp.float32),
+                              img_dtype),
         "labels": jnp.asarray(rngd.integers(0, cfg.model.num_classes, (B, T)),
                               jnp.int32),
         "boxes": jnp.asarray(rngd.uniform(0.2, 0.6, (B, T, 4)), jnp.float32),
@@ -98,19 +110,42 @@ def main():
                         jnp.float32(0.05), jnp.float32(0.0))
         return m["loss"]
 
-    # warmup: compile + 2 steady steps
-    for i in range(3):
-        jax.device_get(one_step(i))
-    samples = []
-    it = 100
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        loss = None
-        for _ in range(args.steps):
-            loss = one_step(it)
-            it += 1
-        jax.device_get(loss)
-        samples.append((time.perf_counter() - t0) / args.steps * 1000.0)
+    if args.chain:
+        K = args.chain
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chain_fn(st, batch, r):
+            def body(s, i):
+                s2, m = step(s, batch, jax.random.fold_in(r, i),
+                             jnp.float32(0.05), jnp.float32(0.0))
+                return s2, m["loss"]
+            st, losses = jax.lax.scan(body, st, jnp.arange(K))
+            return st, losses[-1]
+
+        for i in range(2):  # compile + 1 steady chain
+            state, loss = chain_fn(state, batch, jax.random.fold_in(r, i))
+            jax.device_get(loss)
+        samples = []
+        for rep in range(args.repeats):
+            t0 = time.perf_counter()
+            state, loss = chain_fn(state, batch,
+                                   jax.random.fold_in(r, 100 + rep))
+            jax.device_get(loss)
+            samples.append((time.perf_counter() - t0) / K * 1000.0)
+    else:
+        # warmup: compile + 2 steady steps
+        for i in range(3):
+            jax.device_get(one_step(i))
+        samples = []
+        it = 100
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(args.steps):
+                loss = one_step(it)
+                it += 1
+            jax.device_get(loss)
+            samples.append((time.perf_counter() - t0) / args.steps * 1000.0)
     chron = list(samples)
     samples.sort()
     med = samples[len(samples) // 2]
@@ -129,6 +164,8 @@ def main():
         # outlier at random positions = external (tunnel/host) hiccup
         "step_ms_chron": [round(s, 1) for s in chron],
         "grad_checkpointing": bool(args.grad_checkpointing),
+        "chain": args.chain,
+        "host_dtype": args.host_dtype,
     }))
 
 

@@ -25,7 +25,7 @@ from flax import linen as nn
 from lwdetr_tpu.ops.deform_attn import (_sample_blocks, _sep_vmem_need,
                                         ms_deform_attn_cm,
                                         ms_deform_attn_fast,
-                                        ms_deform_attn_sep,
+                                        ms_deform_attn_sep_panels,
                                         sampling_offsets_init_bias)
 from lwdetr_tpu.ops.embeddings import query_sine_embed
 from lwdetr_tpu.utils import is_static_zero
@@ -203,9 +203,15 @@ class MSDeformAttnModule(nn.Module):
 
     @nn.compact
     def __call__(self, query, reference_points, memory, spatial_shapes,
-                 padding_mask=None, train: bool = False):
+                 padding_mask=None, train: bool = False,
+                 memory_levels=None):
         """query (B, Q, C); reference_points (B, Q, L, 2|4) in [0,1];
-        memory (B, Len_in, C); spatial_shapes static [(H, W)]*L."""
+        memory (B, Len_in, C); spatial_shapes static [(H, W)]*L;
+        memory_levels: optional list of per-level (B, H_l*W_l, C) views of
+        memory (pre-concatenation) — lets the sep branch project per-level
+        value panels directly instead of slicing the concat buffer (an XLA
+        dynamic_slice COPY, strided over B*H: 1.9 ms/slice/layer at
+        large@640 b32)."""
         B, Q, C = query.shape
         Len_in = memory.shape[1]
         D = C // self.n_heads
@@ -265,12 +271,31 @@ class MSDeformAttnModule(nn.Module):
             if padding_mask is not None:
                 value_t = jnp.where(padding_mask[:, None, :], 0.0, value_t)
         elif use_sep:
-            # head-major straight out of the GEMM: the sep kernel's
-            # per-level panels slice this without a transpose
-            value = DenseBHND(C, self.n_heads, dtype=self.dtype,
-                              name="value_proj")(memory)  # (B, H, Len, D)
-            if padding_mask is not None:
-                value = jnp.where(padding_mask[:, None, :, None], 0.0, value)
+            # head-major straight out of the GEMM, one GEMM per level on the
+            # SAME DenseBHND instance (shared params, checkpoint bridge
+            # unaffected): each (B, N_l, C) chunk projects to (B, H, N_l, D)
+            # whose (N_l, D) -> (H_l, W_l*D) panel regroup is a contiguous
+            # view — no per-level slice of a concat buffer anywhere
+            vp = DenseBHND(C, self.n_heads, dtype=self.dtype,
+                           name="value_proj")
+            if memory_levels is None:
+                memory_levels = []
+                start = 0
+                for hl, wl in spatial_shapes:
+                    memory_levels.append(
+                        jax.lax.slice_in_dim(memory, start, start + hl * wl,
+                                             axis=1))
+                    start += hl * wl
+            vals = []
+            start = 0
+            for (hl, wl), mem_l in zip(spatial_shapes, memory_levels):
+                v_l = vp(mem_l)  # (B, H, hl*wl, D)
+                if padding_mask is not None:
+                    m_l = jax.lax.slice_in_dim(padding_mask, start,
+                                               start + hl * wl, axis=1)
+                    v_l = jnp.where(m_l[:, None, :, None], 0.0, v_l)
+                start += hl * wl
+                vals.append(v_l.reshape(B, self.n_heads, hl, wl * D))
         else:
             value = nn.Dense(C, dtype=self.dtype, name="value_proj",
                              kernel_init=nn.initializers.xavier_uniform())(memory)
@@ -318,9 +343,9 @@ class MSDeformAttnModule(nn.Module):
                           kernel_init=nn.initializers.xavier_uniform())(out_t)
         else:
             if use_sep:
-                out = ms_deform_attn_sep(value, spatial_shapes, loc, weights,
-                                         interpret=self.kernel_interpret,
-                                         value_head_major=True)
+                out = ms_deform_attn_sep_panels(
+                    tuple(vals), spatial_shapes, loc, weights,
+                    interpret=self.kernel_interpret)
             else:
                 out = ms_deform_attn_fast(value, spatial_shapes, loc, weights,
                                           interpret=self.kernel_interpret)
@@ -344,7 +369,8 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, reference_points, spatial_shapes,
-                 padding_mask=None, dropout_rate=0.0, train: bool = False):
+                 padding_mask=None, dropout_rate=0.0, train: bool = False,
+                 memory_levels=None):
         B, Q, C = tgt.shape
         det = not train
 
@@ -375,7 +401,7 @@ class DecoderLayer(nn.Module):
             self.d_model, self.n_levels, self.ca_nheads, self.n_points,
             dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, reference_points, memory, spatial_shapes,
-          padding_mask, train=train)
+          padding_mask, train=train, memory_levels=memory_levels)
         if not det:
             tgt2 = _dropout(tgt2, dropout_rate, det, self.make_rng("dropout"))
         tgt = tgt + tgt2
@@ -552,8 +578,8 @@ class Transformer(nn.Module):
         # NOTE: per-level sine pos embeds (`pos_embeds`) are accepted for API
         # parity but unused — the reference decoder never reads them
         # (transformer.py:466-517 ignores `pos`).
-        memory = jnp.concatenate(
-            [s.reshape(B, -1, s.shape[-1]) for s in srcs], axis=1)
+        memory_levels = [s.reshape(B, -1, s.shape[-1]) for s in srcs]
+        memory = jnp.concatenate(memory_levels, axis=1)
         if masks is not None:
             mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], axis=1)
             valid_ratios = jnp.stack(
@@ -621,7 +647,8 @@ class Transformer(nn.Module):
             output = layer(
                 output, memory, query_pos, refpoints_input.astype(self.dtype),
                 spatial_shapes, padding_mask=mask_flat,
-                dropout_rate=dropout_rate, train=train)
+                dropout_rate=dropout_rate, train=train,
+                memory_levels=memory_levels)
 
             if not self.lite_refpoint_refine:
                 assert bbox_embed is not None, "non-lite refine needs shared bbox head"

@@ -146,6 +146,14 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
     # q lane-block: Mosaic pads the ragged tail block internally; K/V
     # panels span the full (unpadded) N so no masking is ever needed.
     blk_q = min(_round_up(N, 128), 128)
+    # TINY batches (serving bs1/bs2 at global N~1600): B*H*n_q with
+    # blk_q=128 fragments into ~156 latency-bound micro-programs (measured
+    # 0.159 ms/global block at tiny bs1 = ~1 TFLOP/s).  Take the whole N in
+    # one q-block — B*H programs; the (N, N) f32 score panel lives in
+    # scoped VMEM and its buffer is reused across grid steps.
+    serving = B <= 2 and N <= 2048
+    if serving:
+        blk_q = _round_up(N, 128)
     n_q = (N + blk_q - 1) // blk_q
 
     # batch g images per program: amortizes grid overhead for windows AND
@@ -158,7 +166,7 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
         g -= 1
 
     vmem_need = g * per_slice
-    if vmem_need > 13 * 1024 * 1024:
+    if vmem_need > (40 if serving else 13) * 1024 * 1024:
         q = qkv_t[:, :C].reshape(B, H, D, N).transpose(0, 3, 1, 2)
         k = qkv_t[:, C:2 * C].reshape(B, H, D, N).transpose(0, 3, 1, 2)
         v = qkv_t[:, 2 * C:].reshape(B, H, D, N).transpose(0, 3, 1, 2)
@@ -181,7 +189,8 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, N), qkv_t.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=(64 * 1024 * 1024 if serving else None)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * N * N * D,
             bytes_accessed=4 * B * H * N * D * qkv_t.dtype.itemsize,

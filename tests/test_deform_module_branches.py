@@ -98,6 +98,29 @@ def test_branch_output_parity(shared_params, branch, with_mask):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("with_mask", [True, False])
+def test_sep_memory_levels_parity(shared_params, with_mask):
+    """The production sep path receives per-level memory chunks
+    (memory_levels) and projects panels per level on shared params — must
+    match both the concat-memory sep fallback and the gather reference."""
+    inputs = _inputs(seed=4, with_mask=with_mask)
+    query, refs, memory, mask = inputs
+    levels = []
+    start = 0
+    for h, w in SHAPES:
+        levels.append(memory[:, start:start + h * w])
+        start += h * w
+    out_lv = _module("sep").apply(
+        {"params": shared_params}, query, refs, memory, SHAPES,
+        padding_mask=mask, train=True, memory_levels=levels)
+    ref = _apply("gather", shared_params, inputs, train=True)
+    out_concat = _apply("sep", shared_params, inputs, train=True)
+    np.testing.assert_allclose(np.asarray(out_lv), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_lv), np.asarray(out_concat),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("branch", ["sep", "cm"])
 def test_branch_grad_parity(shared_params, branch):
     """Grads wrt params, query AND memory agree across kernel branches —
