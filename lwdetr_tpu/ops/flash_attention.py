@@ -146,12 +146,14 @@ def _attn_cm_impl(qkv_t, num_heads, scale, interpret):
     # q lane-block: Mosaic pads the ragged tail block internally; K/V
     # panels span the full (unpadded) N so no masking is ever needed.
     blk_q = min(_round_up(N, 128), 128)
-    # TINY batches (serving bs1/bs2 at global N~1600): B*H*n_q with
-    # blk_q=128 fragments into ~156 latency-bound micro-programs (measured
-    # 0.159 ms/global block at tiny bs1 = ~1 TFLOP/s).  Take the whole N in
-    # one q-block — B*H programs; the (N, N) f32 score panel lives in
-    # scoped VMEM and its buffer is reused across grid steps.
-    serving = B <= 2 and N <= 2048
+    # BATCH-1 serving (global N~1600): B*H*n_q with blk_q=128 fragments
+    # into ~156 latency-bound micro-programs (measured 0.159 ms/global
+    # block at tiny bs1 = ~1 TFLOP/s).  Take the whole N in one q-block —
+    # H programs; the (N, N) f32 score panel lives in scoped VMEM and its
+    # buffer is reused across grid steps.  Strictly B == 1: at B = 2 the
+    # fragmented path already pipelines well and whole-N measured SLOWER
+    # (medium b2 train fwd: 35.9 -> 43.7 ms/step when this fired).
+    serving = B == 1 and N <= 2048
     if serving:
         blk_q = _round_up(N, 128)
     n_q = (N + blk_q - 1) // blk_q

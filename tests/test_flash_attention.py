@@ -26,6 +26,7 @@ def _pack_cm(rng, B, N, H, D):
         (3, 104, 4, 48),    # non-divisor N, odd head count
         (2, 300, 8, 32),    # decoder self-attention (num_queries=300)
         (1, 512, 2, 64),    # power-of-two tall case
+        (1, 1600, 12, 16),  # bs1 serving: whole-N q-block branch (B<=2)
     ])
 def test_attention_cm_parity(B, N, H, D):
     rng = np.random.default_rng(0)
